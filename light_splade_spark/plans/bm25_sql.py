@@ -1,0 +1,169 @@
+"""Exact BM25 top-k scoring — the SQL-expressible path (parity twin of WAND).
+
+Re-expresses the reference's exhaustive scoring semantics
+(``sparse_retriever.py:78-96``): scores = sparse dot product of query term
+weights with doc term weights, ``score >= threshold`` filter, descending sort,
+truncate to top_k. The reference's term weights are neural; ours are BM25
+(pinned reference config k1=1.2, b=0.75 — the reference ships no BM25 config).
+Tie-break is pinned to (score DESC, doc_id ASC); the reference's argsort tie
+order is internal, so both this engine and every oracle apply the same rule.
+
+Physically this is: broadcast-able query-terms join postings on term ->
+partial+final hash aggregation per (qid, doc_id) -> per-query window top-k.
+Catalyst handles pushdown/pruning; the join key is `term`, so Zipfian skew on
+head terms is absorbed by AQE skew-join splitting (enabled in session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from light_splade_spark.functions.analyzers import doc_terms, py_tokenize
+
+K1 = 1.2
+B = 0.75
+SCORE_DECIMALS = 4  # cross-engine float guard: rank on round(score, 4)
+
+
+def idf_col(n_docs: int):
+    """Lucene-style non-negative BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5))."""
+    return F.log(1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+
+
+def bm25_weight_col(avgdl: float):
+    """tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)) — term saturation."""
+    return (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl)))
+    )
+
+
+def score_bm25(
+    postings: DataFrame,  # (doc_id, dl, term, tf) from analyzers.doc_terms
+    qterms: DataFrame,    # (qid, term, qtf)
+    n_docs: int,
+    avgdl: float,
+    top_k: int = 10,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """-> (qid, rank, doc_id, score) rounded + deterministically tie-broken.
+
+    top_k=0 means "all docs" (reference ``sparse_retriever.py:81-82``).
+    The query side is broadcast (a query batch is always small next to the
+    corpus); the per-(qid,doc_id) SUM is a partial+final hash agg — no
+    row explosion reaches the shuffle beyond matched (q,term,doc) triples.
+    """
+    df_dim = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        F.broadcast(qterms)
+        .join(postings, "term")
+        .join(F.broadcast(df_dim), "term")
+        .select(
+            "qid",
+            "doc_id",
+            (F.col("qtf") * idf_col(n_docs) * bm25_weight_col(avgdl)).alias("c"),
+        )
+    )
+    scored = (
+        contrib.groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("c"), SCORE_DECIMALS).alias("score"))
+        .where(F.col("score") >= F.lit(threshold))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if top_k and top_k > 0:
+        ranked = ranked.where(F.col("rank") <= top_k)
+    return ranked.select("qid", "rank", "doc_id", "score")
+
+
+def bm25_topk_docs(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    top_k: int = 10,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end: corpus DataFrame + literal query batch -> top-k ranking."""
+    spark = docs.sparkSession
+    postings = doc_terms(docs, id_col, text_col).cache()
+    row = (
+        postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    )
+    qt_rows = query_term_rows(queries)
+    qterms = spark.createDataFrame(qt_rows, "qid BIGINT, term STRING, qtf BIGINT")
+    return score_bm25(postings, qterms, int(row["n"]), float(row["avgdl"]),
+                      top_k, threshold)
+
+
+def query_term_rows(queries: list[tuple[int, str]]) -> list[tuple[int, str, int]]:
+    """Tokenize a literal query batch driver-side -> (qid, term, qtf) rows.
+    Shared by the Spark path and the oracle-SQL generator so both sides see
+    the exact same query terms by construction."""
+    rows: list[tuple[int, str, int]] = []
+    for qid, text in queries:
+        counts: dict[str, int] = {}
+        for t in py_tokenize(text):
+            counts[t] = counts.get(t, 0) + 1
+        rows.extend((qid, t, c) for t, c in sorted(counts.items()))
+    return rows
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL — mirrors the computation above over the same parquet.
+# --------------------------------------------------------------------------
+
+_TOK_SQL = ("list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), "
+            "x -> x <> '')")
+
+
+def tokens_sql(col: str) -> str:
+    """DuckDB expression equal to analyzers.tokens_col."""
+    return _TOK_SQL.format(col=col)
+
+
+def bm25_oracle_sql(queries: list[tuple[int, str]], top_k: int = 10,
+                    threshold: float = 0.0, table: str = "documents",
+                    id_col: str = "doc_id", text_col: str = "text") -> str:
+    """ANSI/DuckDB SQL computing the identical (qid, rank, doc_id, score)."""
+    qt = query_term_rows(queries)
+    values = ", ".join(
+        f"({qid}, '{term}', {qtf})" for qid, term, qtf in qt
+    )
+    limit_pred = f"WHERE rank <= {top_k}" if top_k and top_k > 0 else ""
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc_id, unnest({tokens_sql(text_col)}) AS term
+  FROM {table}
+),
+dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tdf AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+qt(qid, term, qtf) AS (VALUES {values}),
+scored AS (
+  SELECT qt.qid, dt.doc_id,
+         round(sum(
+           qt.qtf
+           * ln(1.0 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+           * (dt.tf * ({K1} + 1.0))
+             / (dt.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+         ), {SCORE_DECIMALS}) AS score
+  FROM qt
+  JOIN dt  ON qt.term = dt.term
+  JOIN tdf ON qt.term = tdf.term
+  JOIN dl  ON dt.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.qid, dt.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)
+           AS rank
+  FROM scored
+  WHERE score >= {threshold}
+)
+SELECT qid, rank, doc_id, score FROM ranked {limit_pred}
+ORDER BY qid, rank
+"""
