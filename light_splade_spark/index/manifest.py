@@ -1,0 +1,78 @@
+"""Index manifest: lineage + metrics per partition, checkpoint resume state.
+
+The reference persists its whole index as one gzip pickle
+(``sparse_indexer.py:200-217``) with no resume. At 10^12 docs the index build
+is a multi-hour job; the north rule requires per-partition lineage + metrics
+and checkpoint resume. Design: the index lives in a directory
+
+    <index_dir>/
+      manifest.json                 # params, analyzer version, scalars, status
+      terms/        (parquet)       # term, term_id, df, cf, idf
+      doc_stats/    (parquet)       # doc_id, dl
+      postings/shard_group=G/...    # bucket-partitioned parquet per group
+      _lineage/group=G.json         # per-shard-group lineage + metrics rows
+
+Shard groups are the resume unit: a group's postings write is atomic from the
+manifest's point of view (lineage JSON written only after the parquet commit).
+``resume=True`` skips completed groups, so a killed build continues where it
+stopped and produces a byte-identical index (tested in tests/test_index_build).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class IndexManifest:
+    analyzer_version: str
+    k1: float
+    b: float
+    n_docs: int
+    avgdl: float
+    n_shards: int
+    n_buckets: int
+    run_size: int
+    block_size: int
+    n_shard_groups: int
+    completed_groups: list[int] = field(default_factory=list)
+    status: str = "building"
+    created_unix: float = 0.0
+
+    def save(self, index_dir: str) -> None:
+        tmp = os.path.join(index_dir, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(asdict(self), f, indent=2, sort_keys=True)
+        os.replace(tmp, os.path.join(index_dir, "manifest.json"))
+
+    @classmethod
+    def load(cls, index_dir: str) -> "IndexManifest":
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            return cls(**json.load(f))
+
+
+def write_lineage(index_dir: str, group: int, rows: list[dict]) -> None:
+    """One lineage/metrics record per (shard, bucket) partition in the group:
+    posting rows, postings bytes, docs covered, max df, wall seconds."""
+    d = os.path.join(index_dir, "_lineage")
+    os.makedirs(d, exist_ok=True)
+    payload = {"group": group, "written_unix": time.time(), "partitions": rows}
+    tmp = os.path.join(d, f"group={group}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(d, f"group={group}.json"))
+
+
+def read_lineage(index_dir: str) -> list[dict]:
+    d = os.path.join(index_dir, "_lineage")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+    return out

@@ -1,0 +1,217 @@
+"""Block-max WAND top-k query engine over the sharded VByte index.
+
+Query flow (SURVEY.md §3.3 performance path):
+
+1. Tokenize the query batch driver-side (a query batch is tiny by nature).
+2. Resolve term -> term_id from the `terms` dim with a pushed-down filter.
+3. Scan `postings` with ``bucket IN (query buckets) AND term_id IN (query
+   term ids)`` — bucket is a parquet partition column, so non-query buckets
+   are pruned at the file-listing level; term_id hits parquet min/max.
+4. ``groupBy(shard).applyInPandas(kernel)`` — each shard holds a complete
+   mini-index over its documents, so per-shard scoring is exact and shards
+   are embarrassingly parallel (the 1000-executor story).
+5. Global top-k merge: per-qid window over (rounded score DESC, doc_id ASC) —
+   at most shards * k rows per query reach the final merge.
+
+The kernel is **document-at-a-time with block-max pruning**, vectorized:
+block boundaries of all query terms partition doc-id space into elementary
+intervals; each interval's score upper bound is the sum of covering blocks'
+max impacts * qtf. Intervals are processed in descending upper-bound order,
+scoring is exact numpy (unique + bincount), and iteration stops once the
+bound falls below the running k-th best score minus the rounding guard —
+identical results to exhaustive scoring (reference semantics,
+``sparse_retriever.py:78-96``), without decoding cold blocks.
+
+Scores: Σ qtf * w  with w the float32 impact stored at build time; rounded to
+SCORE_DECIMALS with deterministic (score DESC, doc_id ASC) tie-break, matching
+plans/bm25_sql.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import heapq
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from light_splade_spark.functions.analyzers import py_tokenize
+from light_splade_spark.functions.vbyte import decode_run
+from light_splade_spark.index.build import read_postings, read_terms
+from light_splade_spark.index.manifest import IndexManifest
+from light_splade_spark.plans.bm25_sql import SCORE_DECIMALS
+
+_GUARD = 10.0 ** (-SCORE_DECIMALS)  # rounding guard for the prune bound
+
+
+def _score_shard(
+    pdf: pd.DataFrame,
+    qplan: dict[int, list[tuple[int, int]]],
+    top_k: int,
+    threshold: float,
+    mode: str,
+) -> pd.DataFrame:
+    """Exact per-shard top-k for every query. pdf: posting rows of ONE shard
+    restricted to query terms."""
+    decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+    for r in pdf.itertuples(index=False):
+        docs, ws = decode_run(bytes(r.postings))
+        decoded[int(r.term_id)] = (
+            docs, ws, np.asarray(r.bm_last, dtype=np.int64),
+            np.asarray(r.bm_max, dtype=np.float32),
+        )
+    out_q, out_d, out_s = [], [], []
+    for qid, tlist in qplan.items():
+        terms = [(qtf, *decoded[tid]) for tid, qtf in tlist if tid in decoded]
+        if not terms:
+            continue
+        if mode == "taat" or len(terms) == 1:
+            docs, scores = _taat(terms)
+        else:
+            docs, scores = _bmw(terms, top_k)
+        # pre-filter with the rounding guard; the exact (rounded) threshold
+        # semantics are enforced after the global round in wand_topk
+        keep = scores >= threshold - _GUARD
+        docs, scores = docs[keep], scores[keep]
+        k = top_k if top_k and top_k > 0 else docs.size
+        if docs.size > k:
+            # partial select on (-score, doc_id): top-k by score desc, id asc
+            idx = np.lexsort((docs, -scores))[:k]
+            docs, scores = docs[idx], scores[idx]
+        out_q.extend([qid] * docs.size)
+        out_d.extend(docs.tolist())
+        out_s.extend(scores.tolist())
+    return pd.DataFrame({"qid": out_q, "doc_id": out_d, "score": out_s})
+
+
+def _taat(terms) -> tuple[np.ndarray, np.ndarray]:
+    """Exhaustive vectorized term-at-a-time scoring (parity baseline)."""
+    all_docs = np.concatenate([t[1] for t in terms])
+    all_w = np.concatenate([
+        t[2].astype(np.float64) * float(t[0]) for t in terms
+    ])
+    docs, inv = np.unique(all_docs, return_inverse=True)
+    scores = np.bincount(inv, weights=all_w)
+    return docs, scores
+
+
+def _bmw(terms, top_k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max pruned document-at-a-time scoring over elementary intervals.
+
+    Exact: intervals partition doc-id space; a doc's full score lives in one
+    interval. Pruning skips intervals whose summed block-max bound cannot
+    reach the current k-th best score (minus the rounding guard)."""
+    # elementary interval boundaries = union of all terms' block last-docs
+    uppers = np.unique(np.concatenate([t[3] for t in terms]))  # sorted
+    n_int = uppers.size
+    ub = np.zeros(n_int, dtype=np.float64)
+    per_term_block = []
+    for qtf, docs, ws, bm_last, bm_max in terms:
+        # which block of this term covers each interval (by interval upper)
+        blk = np.searchsorted(bm_last, uppers, side="left")
+        valid = blk < bm_last.size
+        contrib = np.zeros(n_int, dtype=np.float64)
+        # interval must start after previous block's last doc to overlap blk;
+        # conservative bound: use the covering block's max (0 beyond list end)
+        contrib[valid] = bm_max[blk[valid]].astype(np.float64) * float(qtf)
+        ub += contrib
+        per_term_block.append(blk)
+    order = np.argsort(-ub, kind="stable")
+    cand_docs: list[np.ndarray] = []
+    cand_scores: list[np.ndarray] = []
+    heap: list[float] = []  # min-heap of top_k scores seen
+    kth = -np.inf
+    if not top_k or top_k <= 0:
+        top_k = 0
+    lowers = np.concatenate(([np.int64(-1)], uppers[:-1]))
+    for ii in order:
+        if top_k and len(heap) >= top_k and ub[ii] < kth - _GUARD:
+            break
+        lo, hi = int(lowers[ii]), int(uppers[ii])
+        seg_docs = []
+        seg_w = []
+        for (qtf, docs, ws, _, _), _blk in zip(terms, per_term_block):
+            a = np.searchsorted(docs, lo, side="right")
+            b = np.searchsorted(docs, hi, side="right")
+            if b > a:
+                seg_docs.append(docs[a:b])
+                seg_w.append(ws[a:b].astype(np.float64) * float(qtf))
+        if not seg_docs:
+            continue
+        d = np.concatenate(seg_docs)
+        w = np.concatenate(seg_w)
+        u, inv = np.unique(d, return_inverse=True)
+        s = np.bincount(inv, weights=w)
+        cand_docs.append(u)
+        cand_scores.append(s)
+        if top_k:
+            for val in s:
+                if len(heap) < top_k:
+                    heapq.heappush(heap, float(val))
+                elif val > heap[0]:
+                    heapq.heapreplace(heap, float(val))
+            if len(heap) >= top_k:
+                kth = heap[0]
+    if not cand_docs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    return np.concatenate(cand_docs), np.concatenate(cand_scores)
+
+
+def build_query_plan(
+    spark: SparkSession, index_dir: str, queries: list[tuple[int, str]]
+) -> tuple[dict[int, list[tuple[int, int]]], list[int], list[int]]:
+    """-> (qid -> [(term_id, qtf)], term_ids, buckets)."""
+    man = IndexManifest.load(index_dir)
+    vocab_needed = sorted({t for _, text in queries for t in py_tokenize(text)})
+    tmap = {
+        r["term"]: int(r["term_id"])
+        for r in read_terms(spark, index_dir)
+        .where(F.col("term").isin(vocab_needed))
+        .select("term", "term_id").collect()
+    }
+    qplan: dict[int, list[tuple[int, int]]] = {}
+    for qid, text in queries:
+        counts = Counter(py_tokenize(text))
+        lst = [(tmap[t], c) for t, c in sorted(counts.items()) if t in tmap]
+        if lst:
+            qplan[qid] = lst
+    tids = sorted({tid for lst in qplan.values() for tid, _ in lst})
+    buckets = sorted({tid % man.n_buckets for tid in tids})
+    return qplan, tids, buckets
+
+
+def wand_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    top_k: int = 10,
+    threshold: float = 0.0,
+    mode: str = "bmw",
+) -> DataFrame:
+    """-> DataFrame(qid, rank, doc_id, score) — rank-identical to the exact
+    SQL path (plans/bm25_sql.score_bm25) on the same corpus."""
+    qplan, tids, buckets = build_query_plan(spark, index_dir, queries)
+    if not qplan:
+        return spark.createDataFrame([], "qid BIGINT, rank INT, doc_id BIGINT, score DOUBLE")
+    posts = (
+        read_postings(spark, index_dir)
+        .where(F.col("bucket").isin(buckets) & F.col("term_id").isin(tids))
+        .select("shard", "term_id", "postings", "bm_last", "bm_max")
+    )
+    kernel = functools.partial(
+        _score_shard, qplan=qplan, top_k=top_k, threshold=threshold, mode=mode
+    )
+    shard_hits = posts.groupBy("shard").applyInPandas(
+        kernel, "qid BIGINT, doc_id BIGINT, score DOUBLE"
+    )
+    scored = shard_hits.select(
+        "qid", "doc_id", F.round("score", SCORE_DECIMALS).alias("score")
+    ).where(F.col("score") >= F.lit(threshold))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if top_k and top_k > 0:
+        ranked = ranked.where(F.col("rank") <= top_k)
+    return ranked.select("qid", "rank", "doc_id", "score")
