@@ -1,38 +1,651 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship BM25 top-k over sf0.001 documents.
+queries()      -> one callable per implemented operator (SURVEY.md §2).
+oracle_sql()   -> DuckDB SQL mirrors for every SQL-expressible operator.
+
+Column names are aligned between both sides; scores rounded to fixed decimals
+so cross-engine float hashing is stable.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from light_splade_spark.fixtures import DOCUMENTS_QUERY_SET
+from light_splade_spark.functions import text_quality as tq
+from light_splade_spark.functions.analyzers import doc_tokens
+from light_splade_spark.operators import dedup, metrics, similarity
+from light_splade_spark.plans import bm25_sql
+
+QUERIES = DOCUMENTS_QUERY_SET
+TOP_K = 10
+QREL_MOD = 29  # deterministic qrels rule: positive iff doc_id % 29 == qid
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: exact BM25 top-10 for the reference query batch."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    return bm25_sql.bm25_topk_docs(docs, QUERIES, top_k=TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def q_bm25_topk(spark, sf_dir):
+    return bm25_sql.bm25_topk_docs(_docs(spark, sf_dir), QUERIES, top_k=TOP_K)
+
+
+def q_dot_topk(spark, sf_dir):
+    """Raw term-frequency dot product (the reference's scoring join J2 with
+    tf weights): score = Σ qtf * tf, top-k per query."""
+    from pyspark.sql import Window
+    from light_splade_spark.functions.analyzers import doc_terms
+
+    docs = _docs(spark, sf_dir)
+    postings = doc_terms(docs)
+    qt = spark.createDataFrame(
+        bm25_sql.query_term_rows(QUERIES), "qid BIGINT, term STRING, qtf BIGINT")
+    scored = (
+        F.broadcast(qt).join(postings, "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("qtf") * F.col("tf")).cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K).select("qid", "rank", "doc_id", "score"))
+
+
+def q_wand_topk(spark, sf_dir):
+    """Block-max WAND over the sharded VByte index (rows-only check here;
+    rank-identity to the SQL path is asserted in tests/)."""
+    import hashlib
+
+    from light_splade_spark.index.build import build_index
+    from light_splade_spark.index.wand import wand_topk
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/lss_index_{tag}"
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(spark, _docs(spark, sf_dir), idx, n_shards=8, n_buckets=16,
+                    n_salts=4, n_shard_groups=2)
+    return wand_topk(spark, idx, QUERIES, top_k=TOP_K, mode="bmw")
+
+
+def q_term_stats(spark, sf_dir):
+    """Term dictionary head: document+collection frequency, top 50 by df."""
+    from light_splade_spark.functions.analyzers import doc_terms
+
+    dt = doc_terms(_docs(spark, sf_dir))
+    return (dt.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+            .orderBy(F.desc("df"), F.asc("term")).limit(50))
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Corpus scalars (reference index stats A5): N, avgdl, max/min dl,
+    distinct terms."""
+    dt = doc_tokens(_docs(spark, sf_dir))
+    base = dt.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dl"), 4).alias("avgdl"),
+        F.max("dl").alias("max_dl"),
+        F.min("dl").alias("min_dl"),
+    )
+    nterm = (dt.select(F.explode("tokens").alias("term")).select("term")
+             .distinct().agg(F.count(F.lit(1)).alias("n_terms")))
+    return base.crossJoin(nterm)
+
+
+def q_doc_lengths(spark, sf_dir):
+    return doc_tokens(_docs(spark, sf_dir)).select("doc_id", "dl")
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_dedup_survivors(spark, sf_dir):
+    return (dedup.exact_dedup(_docs(spark, sf_dir))
+            .agg(F.count(F.lit(1)).alias("n_survivors")))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    return dedup.minhash_signature(docs, k=8, shingle_n=3)
+
+
+def q_minhash_band_pairs(spark, sf_dir):
+    """MinHash LSH candidate pairs over unigram shingles (token sets) —
+    identical token sets collide with certainty."""
+    docs = _docs(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(docs, k=8, band_size=4, shingle_n=1)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    return dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.8)
+
+
+def q_simhash(spark, sf_dir):
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    return dedup.simhash(docs)
+
+
+def q_simhash_dupes(spark, sf_dir):
+    return dedup.simhash_dupes(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_cosine_topk(spark, sf_dir):
+    return similarity.brute_force_topk(_emb(spark, sf_dir),
+                                       query_ids=list(range(10)), k=5)
+
+
+def q_cosine_neardup(spark, sf_dir):
+    return similarity.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return similarity.ann_lsh_topk(_emb(spark, sf_dir),
+                                   query_ids=list(range(10)), k=5, n_planes=6)
+
+
+def q_lang_id(spark, sf_dir):
+    return tq.lang_id(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return tq.quality_score(_docs(spark, sf_dir))
+
+
+def q_token_count(spark, sf_dir):
+    return tq.token_count(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return tq.fingerprint(_docs(spark, sf_dir))
+
+
+def q_ranking_metrics(spark, sf_dir):
+    """MRR/NDCG/MAP/recall/precision@10 of BM25 results against the
+    deterministic qrels rule (doc_id % QREL_MOD == qid)."""
+    docs = _docs(spark, sf_dir)
+    results = bm25_sql.bm25_topk_docs(docs, QUERIES, top_k=TOP_K)
+    qids = [q for q, _ in QUERIES]
+    qrels = (docs.select("doc_id")
+             .withColumn("qid", F.col("doc_id") % QREL_MOD)
+             .where(F.col("qid").isin(qids))
+             .select("qid", "doc_id"))
+    return metrics.ranking_metrics(results.select("qid", "rank", "doc_id"),
+                                   qrels, k_values=[10])
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """J1-style lookup joins + aggregation (broadcast dims)."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    n = _tbl(spark, sf_dir, "nation")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+def q_top_orders_per_cust(spark, sf_dir):
+    """T1 window top-k on the star schema."""
+    from pyspark.sql import Window
+
+    o = _tbl(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("o_custkey", "rank", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice")))
+
+
+def q_customers_no_orders(spark, sf_dir):
+    """J4/J5 anti-join."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey").orderBy("c_custkey"))
+
+
+def q_nations_cust_not_supp(spark, sf_dir):
+    """U3/U4 set ops: nation keys with customers EXCEPT those with suppliers."""
+    c = _tbl(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _tbl(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.distinct().subtract(s.distinct())
+
+
+def q_orders_per_cust_csv(spark, sf_dir):
+    """A8 groupBy + collect_set analog with deterministic CSV rendering."""
+    o = _tbl(spark, sf_dir, "orders").where(F.col("o_custkey") < 20)
+    return (o.groupBy("o_custkey")
+            .agg(F.array_join(
+                F.transform(F.sort_array(F.collect_list("o_orderkey")),
+                            lambda x: x.cast("string")), ",").alias("orderkeys")))
+
+
+def q_events_agg(spark, sf_dir):
+    e = _tbl(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.avg("value"), 4).alias("avg_value")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bm25_topk": q_bm25_topk,
+        "dot_topk": q_dot_topk,
+        "wand_topk": q_wand_topk,
+        "term_stats": q_term_stats,
+        "corpus_stats": q_corpus_stats,
+        "doc_lengths": q_doc_lengths,
+        "exact_dup_groups": q_exact_dup_groups,
+        "dedup_survivors": q_dedup_survivors,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_band_pairs": q_minhash_band_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "simhash_dupes": q_simhash_dupes,
+        "cosine_topk": q_cosine_topk,
+        "cosine_neardup": q_cosine_neardup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "ranking_metrics": q_ranking_metrics,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "customers_no_orders": q_customers_no_orders,
+        "nations_cust_not_supp": q_nations_cust_not_supp,
+        "orders_per_cust_csv": q_orders_per_cust_csv,
+        "events_agg": q_events_agg,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_TOK = bm25_sql.tokens_sql("text")
+_TOK_CTE = f"""
+tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+dtok AS (SELECT doc_id, {_TOK} AS toks FROM documents)
+"""
+
+
+def _qt_values() -> str:
+    return ", ".join(f"({q}, '{t}', {c})"
+                     for q, t, c in bm25_sql.query_term_rows(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from light_splade_spark.functions.text_quality import LANG_MARKERS, STOPWORDS
+    from light_splade_spark.operators.similarity import random_hyperplanes
+
+    o: dict[str, str] = {}
+    o["bm25_topk"] = bm25_sql.bm25_oracle_sql(QUERIES, top_k=TOP_K)
+
+    o["dot_topk"] = f"""
+WITH {_TOK_CTE},
+dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+qt(qid, term, qtf) AS (VALUES {_qt_values()}),
+scored AS (
+  SELECT qt.qid, dt.doc_id, CAST(sum(qt.qtf * dt.tf) AS BIGINT) AS score
+  FROM qt JOIN dt ON qt.term = dt.term GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+  FROM scored)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {TOP_K}
+"""
+
+    o["term_stats"] = f"""
+WITH {_TOK_CTE},
+dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM dt GROUP BY term ORDER BY df DESC, term ASC LIMIT 50
+"""
+
+    o["corpus_stats"] = f"""
+WITH {_TOK_CTE},
+dl AS (SELECT doc_id, len(toks) AS dl FROM dtok)
+SELECT count(*) AS n_docs, round(avg(dl), 4) AS avgdl,
+       max(dl) AS max_dl, min(dl) AS min_dl,
+       (SELECT count(DISTINCT term) FROM tok) AS n_terms
+FROM dl
+"""
+
+    o["doc_lengths"] = f"""
+WITH {_TOK_CTE}
+SELECT doc_id, len(toks) AS dl FROM dtok
+"""
+
+    o["exact_dup_groups"] = """
+SELECT min(doc_id) AS keeper, count(*) AS dup_count,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+    o["dedup_survivors"] = """
+SELECT count(*) AS n_survivors
+FROM (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+"""
+
+    mh_cols = ",\n  ".join(
+        f"min(md5(sh || '#{i}')) AS mh_{i}" for i in range(8))
+    o["minhash_signatures"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK} AS t FROM documents WHERE doc_id < 50
+),
+sh3 AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(t) >= 3 THEN list_transform(
+      range(0, len(t) - 2),
+      i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])
+    ELSE []::VARCHAR[] END) AS sh
+  FROM toks
+)
+SELECT doc_id, {mh_cols}
+FROM sh3 GROUP BY doc_id
+"""
+
+    band_cte = " UNION ALL ".join(
+        f"SELECT doc_id, md5('{b}' || '|' || mh_{b*4} || '|' || mh_{b*4+1} || '|' "
+        f"|| mh_{b*4+2} || '|' || mh_{b*4+3}) AS band FROM sig"
+        for b in range(2)
+    )
+    o["minhash_band_pairs"] = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_TOK}) AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id, {", ".join(f"min(md5(sh || '#{i}')) AS mh_{i}" for i in range(8))}
+  FROM sh GROUP BY doc_id
+),
+bands AS ({band_cte})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+    o["jaccard_pairs"] = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_TOK}) AS sh
+  FROM documents WHERE doc_id < 200
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
+"""
+
+    bit_sums = ",\n  ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(dedup.SIMHASH_BITS))
+    bit_recombine = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(dedup.SIMHASH_BITS))
+    simhash_cte = f"""
+t AS (
+  SELECT DISTINCT doc_id, unnest({_TOK}) AS term FROM documents {{pred}}
+),
+th AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM t),
+sums AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id),
+sh AS (SELECT doc_id, {bit_recombine} AS simhash FROM sums)
+"""
+    o["simhash"] = ("WITH " + simhash_cte.format(pred="WHERE doc_id < 100")
+                    + "SELECT doc_id, simhash FROM sh")
+
+    chunk_sel = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS ci, "
+        f"(simhash >> {c * 15}) & {(1 << (15 if c < 3 else 15)) - 1} AS cv FROM sh"
+        for c in range(4)
+    )
+    o["simhash_dupes"] = ("WITH " + simhash_cte.format(pred="") + f""",
+chunks AS ({chunk_sel}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM chunks a JOIN chunks b
+    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+""")
+
+    o["cosine_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))), 4) AS cos
+  FROM q JOIN e ON q.qid <> e.vec_id),
+ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored)
+SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5
+"""
+
+    o["cosine_neardup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+"""
+
+    planes = random_hyperplanes(64, 6, seed=42)
+    plane_lits = ", ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]" for p in planes)
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, p[{i + 1}]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(6))
+    o["ann_lsh_topk"] = f"""
+WITH planes AS (SELECT [{plane_lits}] AS p),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {bucket_expr} AS bucket
+  FROM embeddings, planes),
+q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))), 4) AS cos
+  FROM q JOIN e ON q.bucket = e.bucket AND q.qid <> e.vec_id),
+ranked AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM scored)
+SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5
+"""
+
+    lang_case = []
+    for i, (lang, m) in enumerate(sorted(LANG_MARKERS.items())):
+        lst = ", ".join(f"'{w}'" for w in m)
+        lang_case.append(
+            f"len(list_filter(toks, x -> list_contains([{lst}], x))) AS hits_{lang}")
+    hit_struct = ", ".join(
+        f"{{'h': hits_{lang}, 'nr': {-i}, 'lang': '{lang}'}}"
+        for i, lang in enumerate(sorted(LANG_MARKERS)))
+    o["lang_id"] = f"""
+WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+h AS (SELECT doc_id, {", ".join(lang_case)} FROM d),
+b AS (SELECT doc_id, list_max([{hit_struct}]) AS best FROM h)
+SELECT doc_id,
+       CASE WHEN best.h > 0 THEN best.lang ELSE 'und' END AS pred_lang,
+       best.h AS pred_hits
+FROM b
+"""
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    o["quality_score"] = f"""
+WITH d AS (SELECT doc_id, text, {_TOK} AS toks FROM documents),
+f AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS ttr,
+         round(list_sum(list_transform(toks, t -> length(t))) * 1.0
+               / len(toks), 4) AS mean_tok_len,
+         round(len(list_filter(toks, t -> list_contains([{sw}], t))) * 1.0
+               / len(toks), 4) AS stopword_ratio,
+         round(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) * 1.0
+               / greatest(length(text), 1), 4) AS alnum_ratio
+  FROM d)
+SELECT doc_id, n_tokens, ttr, mean_tok_len, stopword_ratio, alnum_ratio,
+       (n_tokens >= 10 AND ttr >= 0.1 AND mean_tok_len >= 2
+        AND mean_tok_len <= 12) AS keep
+FROM f
+"""
+
+    o["token_count"] = f"""
+WITH d AS (SELECT doc_id, text, {_TOK} AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       length(text) AS n_chars_text
+FROM d
+"""
+
+    o["fingerprint"] = f"""
+WITH d AS (SELECT doc_id, text, {_TOK} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, greatest(len(t) - 4, 0)),
+           i -> md5(t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' '
+                    || t[i + 4] || ' ' || t[i + 5])) AS hs
+  FROM d)
+SELECT d.doc_id,
+       coalesce(list_min(sh.hs), md5(d.text)) AS fp
+FROM d JOIN sh ON d.doc_id = sh.doc_id
+"""
+
+    qids = ", ".join(str(q) for q, _ in QUERIES)
+    idcg_vals = []
+    import math
+    for n in range(1, TOP_K + 1):
+        idcg_vals.append((n, sum(1.0 / math.log2(i + 1) for i in range(1, n + 1))))
+    idcg_values = ", ".join(f"({n}, {v!r})" for n, v in idcg_vals)
+    bm25_core = bm25_sql.bm25_oracle_sql(QUERIES, top_k=TOP_K)
+    bm25_body = bm25_core.strip().removeprefix("WITH")
+    bm25_body = bm25_body[: bm25_body.rindex("SELECT qid, rank, doc_id, score")]
+    bm25_body = bm25_body.strip().rstrip(",")
+    o["ranking_metrics"] = f"""
+WITH {bm25_body},
+res AS (SELECT qid, rank, doc_id FROM ranked WHERE rank <= {TOP_K}),
+qrels AS (
+  SELECT (doc_id % {QREL_MOD}) AS qid, doc_id FROM documents
+  WHERE (doc_id % {QREL_MOD}) IN ({qids})),
+npos AS (SELECT qid, count(*) AS n_pos FROM qrels GROUP BY qid),
+hits AS (
+  SELECT r.qid, r.rank,
+         CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM res r LEFT JOIN qrels qr ON r.qid = qr.qid AND r.doc_id = qr.doc_id),
+hc AS (
+  SELECT qid, rank, rel,
+         sum(rel) OVER (PARTITION BY qid ORDER BY rank) AS cumrel
+  FROM hits),
+perq AS (
+  SELECT qid,
+         max(CASE WHEN rel = 1 THEN 1.0 / rank ELSE 0 END) AS rr,
+         sum(CASE WHEN rel = 1 THEN 1.0 / log2(rank + 1) ELSE 0 END) AS dcg,
+         sum(rel) AS n_hit,
+         sum(CASE WHEN rel = 1 THEN cumrel * 1.0 / rank ELSE 0 END) AS ap_num
+  FROM hc GROUP BY qid),
+idcg(n, v) AS (VALUES {idcg_values}),
+fullq AS (
+  SELECT np.qid, coalesce(p.rr, 0) AS rr, coalesce(p.dcg, 0) AS dcg,
+         coalesce(p.n_hit, 0) AS n_hit, coalesce(p.ap_num, 0) AS ap_num,
+         np.n_pos
+  FROM npos np LEFT JOIN perq p ON np.qid = p.qid)
+SELECT {TOP_K} AS k,
+       round(avg(rr), 5) AS mrr,
+       round(avg(dcg / i.v), 5) AS ndcg,
+       round(avg(ap_num / n_pos), 5) AS ap,
+       round(avg(n_hit * 1.0 / n_pos), 5) AS recall,
+       round(avg(n_hit * 1.0 / {TOP_K}), 5) AS prec
+FROM fullq f JOIN idcg i ON i.n = least(f.n_pos, {TOP_K})
+"""
+
+    o["revenue_by_nation"] = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    o["top_orders_per_cust"] = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders WHERE o_custkey < 50)
+SELECT o_custkey, rank, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM r WHERE rank <= 3
+"""
+
+    o["customers_no_orders"] = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+    o["nations_cust_not_supp"] = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+    o["orders_per_cust_csv"] = """
+SELECT o_custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS orderkeys
+FROM orders WHERE o_custkey < 20 GROUP BY o_custkey
+"""
+
+    o["events_agg"] = """
+SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+    return o

@@ -1,0 +1,101 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting. All JVM-side expressions with exact
+DuckDB oracles; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from light_splade_spark.functions.analyzers import tokens_col
+from light_splade_spark.operators.dedup import shingles_col
+
+# n-gram-heuristic language ID: per-language marker sets (stopword-style
+# n-gram cues; deterministic, vocabulary-pinned so the oracle can mirror it).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "les", "et", "est", "des"],
+    "ja": ["no", "wa", "ga", "desu", "shita", "suru"],
+}
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, n_chars_text) — whitespace+regex token
+    counting (the BPE-ish regex is the analyzer's [a-z0-9]+ rule)."""
+    toks = tokens_col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(text_col).alias("n_chars_text"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Heuristic doc-quality features + composite flag:
+    type-token ratio, mean token length, stopword ratio, alnum char ratio.
+    Thresholds follow common web-corpus filters (Gopher-style rules)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    alnum = F.length(F.regexp_replace(F.lower(text_col), "[^a-z0-9]", ""))
+    sw = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / n, 4).alias("ttr"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("bigint"),
+                        lambda acc, t: acc + F.length(t)) / n, 4
+        ).alias("mean_tok_len"),
+        F.round(sw / n, 4).alias("stopword_ratio"),
+        F.round(alnum / F.greatest(F.length(text_col), F.lit(1)), 4).alias("alnum_ratio"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_tokens") >= 10) & (F.col("ttr") >= 0.1)
+        & (F.col("mean_tok_len") >= 2) & (F.col("mean_tok_len") <= 12),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang, pred_hits) — argmax over marker-token hit counts,
+    deterministic tie-break by language code ASC, 'und' when zero hits."""
+    toks = tokens_col(text_col)
+    hit_cols = [
+        F.size(F.filter(toks, lambda t: t.isin(m))).alias(f"hits_{lang}")
+        for lang, m in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select(F.col(id_col).alias("doc_id"), *hit_cols)
+    # argmax with lang-code tie-break via greatest over (hits, -rank) structs
+    langs = sorted(LANG_MARKERS)
+    pairs = F.array(*[
+        F.struct(F.col(f"hits_{lang}").alias("h"), F.lit(-i).alias("nr"),
+                 F.lit(lang).alias("lang"))
+        for i, lang in enumerate(langs)
+    ])
+    best = F.array_max(pairs)
+    return scored.select(
+        "doc_id",
+        F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        best["h"].alias("pred_hits"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                n: int = 5) -> DataFrame:
+    """(doc_id, fp) — winnowing-style document fingerprint: the minimum md5
+    over word 5-gram shingles (rolling-hash analog, order-invariant to
+    boilerplate position; docs shorter than n fall back to md5(text))."""
+    sh = shingles_col(text_col, n)
+    min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(min_sh, F.md5(text_col)).alias("fp"),
+    )

@@ -1,0 +1,225 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All hashing is md5-based so every operator has an exact DuckDB oracle (md5 is
+identical across engines); all expressions are JVM-side built-ins — no Python
+in the hot path. At 100 TB each of these is shuffle-bound on its group key:
+
+* exact dedup shuffles on a 128-bit digest (uniform, no skew);
+* MinHash/LSH shuffles on band signatures (near-uniform);
+* the pairwise joins only ever join on bucketed candidates, never cross-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from light_splade_spark.functions.analyzers import tokens_col
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (keeper, dup_count, doc_ids CSV).
+
+    keeper = min doc_id per md5(text); only groups with >1 member returned.
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(text_col).alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("doc_ids"),
+        )
+        .where(F.col("dup_count") > 1)
+        .select("keeper", "dup_count", "doc_ids")
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct text (min doc_id wins) — the 100 TB-safe
+    groupBy-on-digest form of dropDuplicates([text])."""
+    w = docs.select(F.col(id_col).alias("doc_id"), F.md5(text_col).alias("h"))
+    keep = w.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(keep, docs[id_col] == keep["doc_id"], "left_semi")
+
+
+# --- shingles + MinHash LSH --------------------------------------------------
+
+MINHASH_K = 16           # signature length
+LSH_BAND_SIZE = 4        # rows per band -> 4 bands
+SHINGLE_N = 3
+
+
+def shingles_col(text_col: str, n: int = SHINGLE_N):
+    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    toks = tokens_col(text_col)
+    # transform over sliding windows: index i -> tokens[i..i+n-1] joined
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(F.size(toks) >= n, sh).otherwise(empty))
+
+
+def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = MINHASH_K,
+                      shingle_n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}) — min over shingles of md5(shingle || '#' || i).
+
+    md5-hex string MIN is a valid minhash (uniform order statistic) and is
+    bit-identical in DuckDB, giving the oracle. One explode + one groupBy:
+    shuffle size = shingles * 1 row, aggregated map-side first.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(text_col, shingle_n)).alias("sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = MINHASH_K,
+                      band_size: int = LSH_BAND_SIZE,
+                      shingle_n: int = SHINGLE_N) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) sharing >=1 LSH band.
+
+    Bands of `band_size` consecutive signature slots are concatenated and
+    md5'd; docs are grouped per band value (the LSH bucket join) — never a
+    cross join. Dedup across bands via DISTINCT on the pair."""
+    sig = minhash_signature(docs, id_col, text_col, k, shingle_n)
+    n_bands = k // band_size
+    bands = []
+    for bidx in range(n_bands):
+        cols = [F.col(f"mh_{i}") for i in range(bidx * band_size, (bidx + 1) * band_size)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.md5(F.concat_ws("|", F.lit(str(bidx)), *cols)).alias("band"),
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    a = allb.alias("a")
+    b = allb.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = SHINGLE_N,
+                        threshold: float = 0.5,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, jaccard) over n-gram shingle sets, jaccard >= threshold.
+
+    Intersection sizes come from a self-equi-join on the shingle value —
+    shuffle on shingle, never a cross join. Pass ``candidates`` (doc_a, doc_b)
+    to restrict to an LSH prefilter at scale."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(text_col, n)).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4)
+            .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit int everywhere
+
+
+def _term_hash60():
+    """60-bit cross-engine term hash: conv(md5[0:15], 16, 10)."""
+    return F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash BIGINT) — classic Charikar simhash over distinct terms.
+
+    Bit i of the result = sign of Σ_terms (bit_i(h(term)) ? +1 : -1). Built
+    entirely from JVM expressions (shiftright/bitwise-and/sum) so the DuckDB
+    oracle can mirror it; tf-weighting deliberately omitted (distinct terms)
+    to keep the oracle exact."""
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("term"),
+    ).withColumn("h", _term_hash60())
+    sums = t.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ])
+    expr = F.lit(0).cast("bigint")
+    for i in range(bits):
+        expr = expr + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * (2 ** i)).otherwise(0)
+    return sums.select("doc_id", expr.alias("simhash"))
+
+
+def simhash_dupes(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3,
+                  bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance <= max_hamming.
+
+    Candidate generation: split the fingerprint into (max_hamming+1) chunks —
+    any pair within distance max_hamming shares at least one exact chunk
+    (pigeonhole), so the join is on (chunk_idx, chunk_value), never O(n^2)."""
+    sh = simhash(docs, id_col, text_col, bits)
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    chunks = None
+    for c in range(n_chunks):
+        lo = c * chunk_bits
+        width = chunk_bits if c < n_chunks - 1 else bits - lo
+        part = sh.select(
+            "doc_id", "simhash",
+            F.lit(c).alias("ci"),
+            F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit((1 << width) - 1)).alias("cv"),
+        )
+        chunks = part if chunks is None else chunks.unionByName(part)
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
