@@ -1,0 +1,153 @@
+"""Unit tests for dedup / similarity / text-quality / metrics operators with
+tiny handwritten goldens (mirroring the reference's exact-small-matrix test
+style, e.g. test_sparse_indexer.py:181-200)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from light_splade_spark.functions import text_quality as tq
+from light_splade_spark.operators import dedup, metrics, similarity
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),   # near dup
+        (4, "completely different text about spark engines"),
+        (5, "dog lazy the over jumps fox brown quick the"),   # same tokens, reordered
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_exact_duplicates(tiny):
+    groups = dedup.exact_duplicates(tiny).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["keeper"] == 1 and g["dup_count"] == 2 and g["doc_ids"] == "1,2"
+
+
+def test_exact_dedup_survivors(tiny):
+    ids = sorted(r["doc_id"] for r in dedup.exact_dedup(tiny).collect())
+    assert ids == [1, 3, 4, 5]
+
+
+def test_minhash_identical_docs_same_signature(tiny):
+    sig = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8))
+           for r in dedup.minhash_signature(tiny, k=8).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[4]
+    # unigram shingles: reordering doesn't change the token set
+    sig1 = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8))
+            for r in dedup.minhash_signature(tiny, k=8, shingle_n=1).collect()}
+    assert sig1[1] == sig1[5]
+
+
+def test_minhash_lsh_finds_exact_pair(tiny):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.minhash_lsh_pairs(tiny, k=8, band_size=4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_jaccard_exact_values(tiny):
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(tiny, n=1, threshold=0.5).collect()}
+    # docs 1,2,5: same 8-token set -> jaccard 1.0; doc3 differs by one token
+    assert got[(1, 2)] == 1.0 and got[(1, 5)] == 1.0 and got[(2, 5)] == 1.0
+    assert got[(1, 3)] == round(7 / 9, 4)
+
+
+def test_simhash_near_dup_detection(tiny):
+    h = {r["doc_id"]: r["simhash"] for r in dedup.simhash(tiny).collect()}
+    assert h[1] == h[2] == h[5]  # same distinct-token set
+    ham13 = bin(h[1] ^ h[3]).count("1")
+    ham14 = bin(h[1] ^ h[4]).count("1")
+    assert ham13 < ham14  # near-dup closer than unrelated
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_dupes(tiny, max_hamming=0).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0
+
+
+def test_cosine_topk_golden(spark):
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    got = {(r["qid"], r["rank"]): (r["nid"], r["cos"])
+           for r in similarity.brute_force_topk(emb, [0], k=3).collect()}
+    assert got[(0, 1)][0] == 1                       # most similar
+    assert got[(0, 2)] == (2, 0.0)
+    assert got[(0, 3)] == (3, -1.0)
+    assert abs(got[(0, 1)][1] - round(0.9 / math.hypot(0.9, 0.1), 4)) < 1e-6
+
+
+def test_ann_lsh_subset_of_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    exact = {(r["qid"], r["nid"]): r["cos"] for r in
+             similarity.brute_force_topk(emb, list(range(5)), k=n).collect()}
+    ann = similarity.ann_lsh_topk(emb, list(range(5)), k=5, n_planes=4).collect()
+    assert len(ann) > 0
+    # every ANN hit carries the exact cosine (re-rank is exact within bucket)
+    assert all(abs(exact[(r["qid"], r["nid"])] - r["cos"]) < 1e-6 for r in ann)
+    # and ranks are locally consistent (descending cosine per qid)
+    by_q = {}
+    for r in sorted(ann, key=lambda r: (r["qid"], r["rank"])):
+        by_q.setdefault(r["qid"], []).append(r["cos"])
+    assert all(cs == sorted(cs, reverse=True) for cs in by_q.values())
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat is with of to"),
+         (2, "der hund und die katze ist nicht"),
+         (3, "xyz abc qqq")],
+        "doc_id BIGINT, text STRING")
+    got = {r["doc_id"]: r["pred_lang"] for r in tq.lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_quality_score_golden(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id BIGINT, text STRING")
+    r = tq.quality_score(df).collect()[0]
+    assert r["n_tokens"] == 10 and r["ttr"] == 1.0 and r["keep"] is True
+    short = spark.createDataFrame([(2, "hi")], "doc_id BIGINT, text STRING")
+    assert tq.quality_score(short).collect()[0]["keep"] is False
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "a b a-c! d")], "doc_id BIGINT, text STRING")
+    r = tq.token_count(df).collect()[0]
+    assert (r["n_tokens"], r["n_distinct"], r["n_chars_text"]) == (5, 4, 10)
+
+
+def test_fingerprint_stability(tiny):
+    fp = {r["doc_id"]: r["fp"] for r in tq.fingerprint(tiny).collect()}
+    assert fp[1] == fp[2]          # identical docs share fingerprint
+    assert fp[1] != fp[4]
+    short = tiny.sparkSession.createDataFrame(
+        [(9, "ab cd")], "doc_id BIGINT, text STRING")
+    assert tq.fingerprint(short).collect()[0]["fp"] is not None
+
+
+def test_ranking_metrics_golden(spark):
+    """Hand-computed: q1 hits at ranks 1,3 (2 positives); q2 misses."""
+    results = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 11), (1, 3, 12), (2, 1, 20), (2, 2, 21)],
+        "qid BIGINT, rank INT, doc_id BIGINT")
+    qrels = spark.createDataFrame(
+        [(1, 10), (1, 12), (2, 99)], "qid BIGINT, doc_id BIGINT")
+    r = metrics.ranking_metrics(results, qrels, k_values=[3]).collect()[0]
+    assert r["mrr"] == round((1.0 + 0.0) / 2, 5)
+    dcg = 1.0 + 1.0 / math.log2(4)
+    idcg = 1.0 + 1.0 / math.log2(3)
+    assert r["ndcg"] == round((dcg / idcg) / 2, 5)
+    assert r["ap"] == round(((1.0 / 1 + 2.0 / 3) / 2) / 2, 5)
+    assert r["recall"] == round((2 / 2 + 0 / 1) / 2, 5)
+    assert r["prec"] == round((2 / 3 + 0 / 3) / 2, 5)
