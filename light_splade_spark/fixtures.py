@@ -75,6 +75,51 @@ def make_web_pages(
     return df.repartition(n_partitions)
 
 
+def make_corpus_df(
+    spark: SparkSession,
+    n_docs: int,
+    vocab_size: int = VOCAB_SIZE,
+    mean_len: int = 80,
+    seed: int = SEED,
+    n_partitions: int = 64,
+) -> DataFrame:
+    """Distributed deterministic synthetic corpus (doc_id, text, dl) — pure
+    JVM expressions, no driver-side rows, so it generates billions of docs if
+    asked. Term draws are log-uniform over ranks (a Zipf-like heavy head:
+    rank = floor(exp(u * ln(V)))), seeded per (doc_id, position) via xxhash64
+    so two runs produce byte-identical text.
+    """
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, n_docs, 1, n_partitions).withColumnRenamed("id", "doc_id")
+    # deterministic per-doc length in [mean_len/2, 3*mean_len/2)
+    u_len = (F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed)), F.lit(10**9))
+             / F.lit(10**9))
+    dl = (F.floor(u_len * mean_len) + mean_len // 2 + 1).cast("int")
+    word = lambda i: F.concat(  # noqa: E731
+        F.lit("t"),
+        F.lpad(
+            F.floor(
+                F.exp(
+                    (F.pmod(F.xxhash64(F.col("doc_id"), i, F.lit(seed)),
+                            F.lit(10**9)) / F.lit(10**9))
+                    * float(np.log(vocab_size))
+                )
+            ).cast("string"),
+            5, "0",
+        ),
+    )
+    return (
+        base.withColumn("dl", dl)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(F.sequence(F.lit(1), F.col("dl")), word), " "
+            ).alias("text"),
+        )
+    )
+
+
 def make_queries(
     spark: SparkSession,
     corpus_vocab_size: int = VOCAB_SIZE,

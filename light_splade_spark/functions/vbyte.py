@@ -86,6 +86,24 @@ def vbyte_decode(buf: np.ndarray | bytes, n: int, offset: int = 0) -> tuple[np.n
     return values, offset + int(last) + 1
 
 
+def vbyte_encode_sized(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Like vbyte_encode but also returns per-value byte counts, so callers
+    can slice the buffer per logical segment without re-parsing."""
+    v = values.astype(np.uint64, copy=False)
+    n = v.size
+    if n == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    nbits = np.zeros(n, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        nbits[nz] += 1
+        tmp >>= np.uint64(7)
+        nz = tmp > 0
+    nbytes = np.maximum(nbits, 1)
+    return vbyte_encode(v), nbytes
+
+
 def _write_varint_scalar(x: int) -> bytes:
     out = bytearray()
     while True:

@@ -42,15 +42,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from light_splade_spark.functions.analyzers import ANALYZER_VERSION, doc_terms
-from light_splade_spark.functions.vbyte import concat_runs, encode_run
+from light_splade_spark.functions.vbyte import (
+    _write_varint_scalar,
+    vbyte_encode_sized,
+)
 from light_splade_spark.index.manifest import IndexManifest, write_lineage
 from light_splade_spark.plans.bm25_sql import B, K1
 from light_splade_spark.plans.stats import with_dense_id
 
 RUN_SCHEMA = (
     "shard INT, bucket INT, term_id BIGINT, salt INT, first_doc BIGINT, "
-    "last_doc BIGINT, n BIGINT, run BINARY, bm_last ARRAY<BIGINT>, "
-    "bm_max ARRAY<FLOAT>"
+    "last_doc BIGINT, n BIGINT, dtail BINARY, wblob BINARY, "
+    "bm_last ARRAY<BIGINT>, bm_max ARRAY<FLOAT>"
 )
 POSTING_SCHEMA = (
     "shard INT, bucket INT, term_id BIGINT, df BIGINT, max_w FLOAT, "
@@ -58,78 +61,197 @@ POSTING_SCHEMA = (
 )
 
 
+def _block_meta(docs: np.ndarray, ws: np.ndarray, starts: np.ndarray,
+                ends: np.ndarray, block_size: int):
+    """Vectorized per-segment block metadata: for each segment [s, e) emit
+    blocks of <=block_size postings -> (nb_per_seg, bm_last_all, bm_max_all).
+    One reduceat over the whole slice instead of a Python loop per block."""
+    lens = ends - starts
+    nb = (lens + block_size - 1) // block_size
+    total = int(nb.sum())
+    if total == 0:
+        return nb, np.empty(0, np.int64), np.empty(0, np.float32)
+    seg_of_block = np.repeat(np.arange(starts.size), nb)
+    first_block = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    within = (np.arange(total) - first_block[seg_of_block]) * block_size
+    bstart = starts[seg_of_block] + within
+    bend = np.minimum(bstart + block_size, ends[seg_of_block])
+    bm_max = np.maximum.reduceat(ws, bstart)
+    # reduceat quirk: if bstart[i] == len-1 boundary fine; segments are
+    # contiguous so reduceat(ws, bstart)[i] reduces [bstart[i], bstart[i+1])
+    # which equals [bstart[i], bend[i]) because blocks tile the segments.
+    bm_last = docs[bend - 1]
+    return nb, bm_last, bm_max.astype(np.float32)
+
+
 def _encode_groups(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """Phase-1 kernel: one (shard,bucket,salt) slice -> per-term encoded runs."""
+    """Phase-1 kernel: one (shard,bucket,salt) slice -> per-term encoded runs.
+
+    Fully vectorized: one sort, one bulk VByte encode of every delta in the
+    slice, per-term output assembled by buffer slicing. A run's blob is split
+    into ``dtail`` (varints of deltas AFTER the first posting) + ``wblob``
+    (raw float32 weights); the first doc id travels as a column so the
+    phase-2 merge can patch run boundaries without decoding anything.
+    """
     shard = int(pdf["shard"].iloc[0])
     bucket = int(pdf["bucket"].iloc[0])
     salt = int(pdf["salt"].iloc[0])
-    pdf = pdf.sort_values(["term_id", "doc_id"], kind="mergesort")
-    tids = pdf["term_id"].to_numpy()
-    docs = pdf["doc_id"].to_numpy()
-    ws = pdf["w"].to_numpy(dtype=np.float32)
+    order = np.lexsort((pdf["doc_id"].to_numpy(), pdf["term_id"].to_numpy()))
+    tids = pdf["term_id"].to_numpy()[order]
+    docs = pdf["doc_id"].to_numpy()[order]
+    ws = pdf["w"].to_numpy(dtype=np.float32)[order]
+    m = tids.size
     bounds = np.flatnonzero(np.diff(tids)) + 1
     starts = np.concatenate(([0], bounds))
-    ends = np.concatenate((bounds, [tids.size]))
-    rows = []
-    for s, e in zip(starts, ends):
-        d, w = docs[s:e], ws[s:e]
-        n = d.size
-        nb = (n + block_size - 1) // block_size
-        bm_last = [int(d[min((i + 1) * block_size, n) - 1]) for i in range(nb)]
-        bm_max = [float(w[i * block_size: (i + 1) * block_size].max()) for i in range(nb)]
-        rows.append(
-            (shard, bucket, int(tids[s]), salt, int(d[0]), int(d[-1]), int(n),
-             encode_run(d, w), bm_last, bm_max)
-        )
-    return pd.DataFrame(
-        rows, columns=["shard", "bucket", "term_id", "salt", "first_doc",
-                       "last_doc", "n", "run", "bm_last", "bm_max"]
-    )
+    ends = np.concatenate((bounds, [m]))
+    # tail deltas (per-term diff; values at segment starts are dropped)
+    deltas = np.empty(m, dtype=np.int64)
+    deltas[1:] = np.diff(docs)
+    deltas[starts] = 0  # placeholder, excluded from tails
+    is_tail = np.ones(m, dtype=bool)
+    is_tail[starts] = False
+    tails = deltas[is_tail].astype(np.uint64)
+    buf_bytes, sizes = vbyte_encode_sized(tails)
+    buf = memoryview(buf_bytes)
+    # per-value end offsets in the tail buffer
+    offs = np.concatenate(([0], np.cumsum(sizes)))
+    # tail index range per term: tail positions are original positions minus
+    # the number of segment starts before them
+    tail_rank = np.cumsum(is_tail) - is_tail.astype(np.int64)  # rank at pos
+    t_lo = tail_rank[starts]
+    t_hi = t_lo + (ends - starts - 1)
+    nb, bm_last_all, bm_max_all = _block_meta(docs, ws, starts, ends, block_size)
+    nb_off = np.concatenate(([0], np.cumsum(nb)))
+    wbytes = ws.tobytes()  # little-endian float32
+    o_lo, o_hi = offs[t_lo], offs[t_hi]
+    # column-wise construction: no per-row tuple materialization
+    return pd.DataFrame({
+        "shard": np.full(starts.size, shard, dtype=np.int32),
+        "bucket": np.full(starts.size, bucket, dtype=np.int32),
+        "term_id": tids[starts],
+        "salt": np.full(starts.size, salt, dtype=np.int32),
+        "first_doc": docs[starts],
+        "last_doc": docs[ends - 1],
+        "n": (ends - starts).astype(np.int64),
+        "dtail": [bytes(buf[a:b]) for a, b in zip(o_lo, o_hi)],
+        "wblob": [wbytes[4 * s: 4 * e] for s, e in zip(starts, ends)],
+        "bm_last": [bm_last_all[a:b].tolist()
+                    for a, b in zip(nb_off[:-1], nb_off[1:])],
+        "bm_max": [bm_max_all[a:b].tolist()
+                   for a, b in zip(nb_off[:-1], nb_off[1:])],
+    })
 
 
 def _merge_groups(pdf: pd.DataFrame) -> pd.DataFrame:
     """Phase-2 kernel: one (shard,bucket) slice -> final posting rows.
 
-    Runs per term are salt-ordered and doc-range disjoint; the merge is the
-    cheap external concatenation (analog of the reference's two-phase cache
-    merge, ``sparse_indexer.py:105-153``, minus the O(n) re-copy)."""
-    out = []
-    for (shard, bucket, tid), g in pdf.groupby(["shard", "bucket", "term_id"], sort=True):
-        g = g.sort_values("salt")
-        runs = list(g["run"])
-        spans = list(zip(g["first_doc"].astype(int), g["last_doc"].astype(int)))
-        merged = concat_runs(runs, spans)
-        bm_last = [x for bl in g["bm_last"] for x in bl]
-        bm_max = [x for bm in g["bm_max"] for x in bm]
-        out.append((int(shard), int(bucket), int(tid), int(g["n"].sum()),
-                    float(max(bm_max)), merged, bm_last, bm_max))
-    return pd.DataFrame(
-        out, columns=["shard", "bucket", "term_id", "df", "max_w", "postings",
-                      "bm_last", "bm_max"]
-    )
+    The external multi-way merge of the salted runs (analog of the
+    reference's two-phase cache merge, ``sparse_indexer.py:105-153``): runs of
+    a term are doc-range disjoint and salt-ordered, so merging is pure byte
+    concatenation — only the boundary delta between consecutive runs is
+    (re)encoded. No decompression happens here at any scale."""
+    order = np.lexsort((pdf["salt"].to_numpy(), pdf["term_id"].to_numpy()))
+    tids = pdf["term_id"].to_numpy()[order]
+    firsts = pdf["first_doc"].to_numpy()[order]
+    lasts = pdf["last_doc"].to_numpy()[order]
+    ns = pdf["n"].to_numpy()[order]
+    dtails = pdf["dtail"].to_numpy()[order]
+    wblobs = pdf["wblob"].to_numpy()[order]
+    bls = pdf["bm_last"].to_numpy()[order]
+    bms = pdf["bm_max"].to_numpy()[order]
+    shard = int(pdf["shard"].iloc[0])
+    bucket = int(pdf["bucket"].iloc[0])
+    bounds = np.flatnonzero(np.diff(tids)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [tids.size]))
+    # boundary deltas: first_doc of each run minus last_doc of its
+    # predecessor within the term (-1 for the first run of a term)
+    prev_last = np.empty(tids.size, dtype=np.int64)
+    prev_last[0] = -1
+    prev_last[1:] = lasts[:-1]
+    prev_last[starts] = -1
+    bdeltas = firsts - prev_last
+    postings_col = []
+    bm_last_col = []
+    bm_max_col = []
+    max_w_col = []
+    totals = np.add.reduceat(ns, starts)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        if e - s == 1:
+            blob = (_write_varint_scalar(int(totals[i]))
+                    + _write_varint_scalar(int(bdeltas[s]))
+                    + bytes(dtails[s]) + bytes(wblobs[s]))
+            bm_l, bm_m = list(bls[s]), list(bms[s])
+        else:
+            parts = [_write_varint_scalar(int(totals[i]))]
+            for j in range(s, e):
+                parts.append(_write_varint_scalar(int(bdeltas[j])))
+                parts.append(bytes(dtails[j]))
+            parts.extend(bytes(w) for w in wblobs[s:e])
+            blob = b"".join(parts)
+            bm_l = [int(x) for j in range(s, e) for x in bls[j]]
+            bm_m = [float(x) for j in range(s, e) for x in bms[j]]
+        postings_col.append(blob)
+        bm_last_col.append(bm_l)
+        bm_max_col.append(bm_m)
+        max_w_col.append(max(bm_m))
+    return pd.DataFrame({
+        "shard": np.full(starts.size, shard, dtype=np.int32),
+        "bucket": np.full(starts.size, bucket, dtype=np.int32),
+        "term_id": tids[starts],
+        "df": totals.astype(np.int64),
+        "max_w": np.asarray(max_w_col, dtype=np.float32),
+        "postings": postings_col,
+        "bm_last": bm_last_col,
+        "bm_max": bm_max_col,
+    })
 
 
-def build_dims(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
-    """-> (doc_terms_df, terms_df, doc_stats_df, scalars dict). One pass over
-    the corpus feeds three aggregations; doc_terms is cached for the build."""
+def build_dims(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+               doc_stats_path: str | None = None, term_id_mode: str = "hash"):
+    """-> (doc_terms_df, terms_df, scalars dict).
+
+    Scalars (N, avgdl, max_doc) piggyback on the doc_stats parquet write via
+    ``DataFrame.observe`` — one job instead of two.
+
+    term_id_mode='hash' (default): term_id = xxhash64(term) — deterministic
+    and pass-free; collision odds ~V^2/2^65 (negligible below 10^8 distinct
+    terms, detectable via groupBy(term_id) where a deployment cares).
+    'dense': df-descending consecutive ids via the scalable Arrow
+    zipWithIndex in plans.stats (two extra lightweight jobs).
+    """
+    from pyspark.sql import Observation
+
+    from light_splade_spark.functions.analyzers import doc_tokens
+
     dt = doc_terms(docs, id_col, text_col).cache()
-    row = (
-        dt.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
-             F.max("doc_id").alias("max_doc")).collect()[0]
-    )
-    scalars = {"n_docs": int(row["n"]), "avgdl": float(row["avgdl"]),
-               "max_doc": int(row["max_doc"])}
+    doc_stats = doc_tokens(docs, id_col, text_col).select("doc_id", "dl")
+    obs = Observation("corpus_scalars")
+    doc_stats = doc_stats.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
+        F.max("doc_id").alias("max_doc"))
+    if doc_stats_path is not None:
+        doc_stats.write.mode("overwrite").parquet(doc_stats_path)
+        got = obs.get
+    else:
+        r = doc_stats.agg(F.count(F.lit(1)).alias("n"),
+                          F.avg("dl").alias("avgdl"),
+                          F.max("doc_id").alias("max_doc")).collect()[0]
+        got = {"n": r["n"], "avgdl": r["avgdl"], "max_doc": r["max_doc"]}
+    scalars = {"n_docs": int(got["n"]), "avgdl": float(got["avgdl"]),
+               "max_doc": int(got["max_doc"])}
     terms = dt.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
-    terms = with_dense_id(terms, [F.desc("df"), F.asc("term")], "term_id")
+    if term_id_mode == "dense":
+        terms = with_dense_id(terms, [F.desc("df"), F.asc("term")], "term_id")
+    else:
+        terms = terms.withColumn("term_id", F.xxhash64("term"))
     terms = terms.withColumn(
         "idf",
         F.log(1.0 + (F.lit(float(scalars["n_docs"])) - F.col("df") + 0.5)
               / (F.col("df") + 0.5)),
     )
-    doc_stats = dt.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-    return dt, terms, doc_stats, scalars
+    return dt, terms, scalars
 
 
 def build_index(
@@ -138,7 +260,7 @@ def build_index(
     index_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_shards: int = 8,
+    n_shards: int | None = None,
     n_buckets: int = 16,
     n_salts: int = 8,
     n_shard_groups: int = 4,
@@ -156,8 +278,15 @@ def build_index(
     else:
         man = None
 
-    dt, terms, doc_stats, scalars = build_dims(docs, id_col, text_col)
+    dt, terms, scalars = build_dims(
+        docs, id_col, text_col,
+        doc_stats_path=os.path.join(index_dir, "doc_stats") if man is None else None,
+    )
     if man is None:
+        if n_shards is None:
+            # target ~25k docs per shard: shard count grows with the corpus
+            # (constant per-shard memory), capped to keep tiny corpora sane
+            n_shards = max(4, min(scalars["n_docs"] // 25000, 4096))
         man = IndexManifest(
             analyzer_version=ANALYZER_VERSION, k1=K1, b=B,
             n_docs=scalars["n_docs"], avgdl=scalars["avgdl"],
@@ -166,14 +295,24 @@ def build_index(
         )
         man.created_unix = time.time()
         terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
-        doc_stats.write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats"))
         man.save(index_dir)
+    n_shards = man.n_shards
 
     terms_b = F.broadcast(
         spark.read.parquet(os.path.join(index_dir, "terms"))
-        .select("term", "term_id", "idf")
+        .select("term", "term_id", "idf", "df")
     )
     avgdl = man.avgdl
+    max_doc = scalars["max_doc"]
+    # df-aware doc-id RANGE salt: only head terms fan out into multiple runs
+    # (ceil(df / run_size), capped at n_salts); tail terms stay single-run so
+    # the run-row count is ~vocab-sized, not vocab*salts. Runs within a
+    # (shard, term) stay disjoint + salt-ordered, so phase 2 merges by
+    # concatenation.
+    n_salts_t = F.least(
+        F.lit(n_salts),
+        F.ceil(F.col("df") / F.lit(float(run_size))).cast("int"),
+    )
     # impact = idf * saturated tf (float32, reference index dtype)
     posts = (
         dt.join(terms_b, "term")
@@ -186,13 +325,10 @@ def build_index(
                 F.col("idf") * (F.col("tf") * (K1 + 1.0))
                 / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl)))
             ).cast("float").alias("w"),
+            F.floor(F.col("doc_id") * n_salts_t / F.lit(max_doc + 1))
+            .cast("int").alias("salt"),
         )
     )
-    # doc-id RANGE salt: runs within a (shard, term) are disjoint + ordered,
-    # so phase 2 merges by concatenation.
-    max_doc = scalars["max_doc"]
-    width = max(1, (max_doc + n_salts) // n_salts)
-    posts = posts.withColumn("salt", (F.col("doc_id") / F.lit(width)).cast("int"))
 
     shards_per_group = (n_shards + n_shard_groups - 1) // n_shard_groups
     phase1 = functools.partial(_encode_groups, block_size=block_size)
@@ -211,7 +347,11 @@ def build_index(
         final = runs.groupBy("shard", "bucket").applyInPandas(
             _merge_groups, POSTING_SCHEMA)
         out_dir = os.path.join(index_dir, "postings", f"shard_group={group}")
-        final.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+        # coalesce to one writer task per bucket dir before the partitioned
+        # write: without this every shuffle task writes every bucket ->
+        # O(tasks * buckets) tiny files and a long driver-side commit
+        (final.repartition(n_buckets, "bucket")
+         .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
         # lineage + metrics per (shard, bucket) partition of this group
         written = spark.read.parquet(out_dir)
         lineage = [

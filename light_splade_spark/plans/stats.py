@@ -16,14 +16,48 @@ from pyspark.sql.types import LongType, StructField, StructType
 def with_dense_id(df: DataFrame, order_cols: list, id_name: str) -> DataFrame:
     """Assign consecutive 0-based ids in the order of ``order_cols``.
 
-    Deterministic and scalable: sorts (range-partitioned), then zipWithIndex
-    computes per-partition offsets in one extra lightweight job — unlike a
-    global row_number() window, no single-reducer bottleneck at 10^9 terms.
+    Deterministic and scalable zipWithIndex, Arrow-native: range-partition +
+    sort on the key, one lightweight pass to count rows per partition, then a
+    mapInPandas pass adds ``offset[pid] + local_index``. No global window
+    (single-reducer bottleneck) and no Python-pickled RDD round-trip; works at
+    10^9+ rows. Requires ``order_cols`` to be a total order (callers pass a
+    unique tie-break column) so the assignment is reproducible.
     """
-    ordered = df.orderBy(*order_cols)
-    schema = StructType(ordered.schema.fields + [StructField(id_name, LongType(), False)])
-    rdd = ordered.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-    return df.sparkSession.createDataFrame(rdd, schema)
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    ordered = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    ordered = ordered.cache()
+
+    def count_parts(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+        yield pd.DataFrame({"pid": [pid], "cnt": [n]})
+
+    counts = ordered.mapInPandas(count_parts, "pid INT, cnt BIGINT").collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["pid"]):
+        offsets[r["pid"]] = acc
+        acc += r["cnt"]
+    bc = spark.sparkContext.broadcast(offsets)
+    schema = StructType(df.schema.fields + [StructField(id_name, LongType(), False)])
+
+    def attach(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        pos = bc.value.get(pid, 0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[id_name] = np.arange(pos, pos + len(pdf), dtype=np.int64)
+            pos += len(pdf)
+            yield pdf
+
+    return ordered.mapInPandas(attach, schema)
 
 
 def term_stats(doc_terms_df: DataFrame) -> DataFrame:

@@ -28,6 +28,11 @@ _DEFAULTS = {
     # Keep parquet scans splittable at ~128 MiB — the 100 TB default.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.enabled": "false",
+    # shuffle/spill on tmpfs when available: the sandbox's /tmp is disk-backed
+    # (~700 MB/s); a real cluster sets this per-node via spark-env
+    "spark.local.dir": (
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp"
+    ),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 

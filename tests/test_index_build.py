@@ -24,7 +24,7 @@ def _index_fingerprint(spark, d):
 def test_build_completes_with_lineage(spark, docs, tmp_path):
     d = str(tmp_path / "idx")
     man = build_index(spark, docs, d, n_shards=4, n_buckets=8, n_salts=4,
-                      n_shard_groups=2)
+                      n_shard_groups=2, run_size=100)
     assert man.status == "complete"
     assert sorted(man.completed_groups) == [0, 1]
     lineage = read_lineage(d)
@@ -38,15 +38,15 @@ def test_build_completes_with_lineage(spark, docs, tmp_path):
 def test_resume_after_crash_is_byte_identical(spark, docs, tmp_path):
     d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
     build_index(spark, docs, d1, n_shards=4, n_buckets=8, n_salts=4,
-                n_shard_groups=4)
+                n_shard_groups=4, run_size=100)
     with pytest.raises(RuntimeError, match="simulated crash"):
         build_index(spark, docs, d2, n_shards=4, n_buckets=8, n_salts=4,
-                    n_shard_groups=4, fail_after_group=1)
+                    n_shard_groups=4, run_size=100, fail_after_group=1)
     man = IndexManifest.load(d2)
     assert man.status == "building"
     assert sorted(man.completed_groups) == [0, 1]
     man2 = build_index(spark, docs, d2, n_shards=4, n_buckets=8, n_salts=4,
-                       n_shard_groups=4, resume=True)
+                       n_shard_groups=4, run_size=100, resume=True)
     assert man2.status == "complete"
     assert _index_fingerprint(spark, d1) == _index_fingerprint(spark, d2)
 
@@ -62,7 +62,7 @@ def test_build_deterministic_across_runs(spark, docs, tmp_path):
 def test_postings_sorted_and_blockmax_correct(spark, docs, tmp_path):
     d = str(tmp_path / "idx")
     build_index(spark, docs, d, n_shards=2, n_buckets=4, n_salts=4,
-                n_shard_groups=1, block_size=16)
+                n_shard_groups=1, block_size=16, run_size=64)
     for r in read_postings(spark, d).limit(200).collect():
         ids, ws = decode_run(bytes(r["postings"]))
         assert (np.diff(ids) > 0).all()          # strictly ascending doc ids

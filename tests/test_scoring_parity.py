@@ -31,7 +31,7 @@ def sql_result(docs):
 def index_dir(spark, docs, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("idx"))
     build_index(spark, docs, d, n_shards=4, n_buckets=8, n_salts=4,
-                n_shard_groups=2)
+                n_shard_groups=2, run_size=100)
     return d
 
 
