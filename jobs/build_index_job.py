@@ -1,0 +1,67 @@
+"""spark-submit entry: build (or resume) the inverted index.
+
+    spark-submit --py-files light_splade_spark.zip jobs/build_index_job.py \
+        --input /path/to/web_pages_or_documents.parquet \
+        --index-dir /path/to/index \
+        [--id-col doc_id --text-col text] [--resume] \
+        [--n-shards N --n-buckets B --n-salts S --n-shard-groups G]
+
+On a cluster, master/executors come from spark-submit; this script only
+declares the job. Input with (url, html) and no doc_id gets ids assigned
+deterministically (dense id over url order) and text extracted from html
+byte-identically (input_hint invariant).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--n-shards", type=int, default=None)
+    p.add_argument("--n-buckets", type=int, default=16)
+    p.add_argument("--n-salts", type=int, default=8)
+    p.add_argument("--n-shard-groups", type=int, default=4)
+    p.add_argument("--run-size", type=int, default=1 << 16)
+    p.add_argument("--extract-html", action="store_true",
+                   help="derive text from the html BINARY column and doc ids "
+                        "from url (Common-Crawl-shaped input)")
+    args = p.parse_args()
+
+    spark = SparkSession.builder.appName("lss-build-index").getOrCreate()
+    from pyspark.sql import functions as F
+
+    from light_splade_spark.functions.analyzers import extract_text_udf
+    from light_splade_spark.index.build import build_index
+    from light_splade_spark.plans.stats import with_dense_id
+
+    docs = spark.read.parquet(args.input)
+    if args.extract_html:
+        docs = docs.withColumn("text", extract_text_udf("html"))
+        if "doc_id" not in docs.columns:
+            docs = with_dense_id(docs.select("url", "text"),
+                                 [F.asc("url")], "doc_id")
+    man = build_index(
+        spark, docs, args.index_dir, id_col=args.id_col,
+        text_col=args.text_col, n_shards=args.n_shards,
+        n_buckets=args.n_buckets, n_salts=args.n_salts,
+        n_shard_groups=args.n_shard_groups, run_size=args.run_size,
+        resume=args.resume,
+    )
+    print(json.dumps({"status": man.status, "n_docs": man.n_docs,
+                      "avgdl": man.avgdl, "n_shards": man.n_shards,
+                      "completed_groups": man.completed_groups}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Engine facade — the reference's user-facing API surface, Spark-native.
+
+Maps 1:1 onto the reference objects a light-splade user touches:
+
+* ``SparseIndexer`` (build/load/save, stats) -> ``Engine.build`` /
+  ``Engine.open`` / ``Engine.stats`` (index lives as parquet + manifest,
+  replacing the gzip pickle of ``sparse_indexer.py:200-217``).
+* ``SparseRetriever.retrieve(queries, target_doc_ids, top_k, threshold,
+  return_score)`` (``sparse_retriever.py:43-98``) -> ``Engine.retrieve``:
+  same semantics — top_k=0 means all, threshold post-filter, multi-query +
+  target_doc_ids rejected exactly like the reference's assertion
+  (``sparse_retriever.py:69-72``), deterministic (score DESC, doc_id ASC)
+  tie-break.
+* ``Evaluator.evaluate`` (``evaluator.py:141-199``) -> ``Engine.evaluate``:
+  retrieval at max metric cutoff + Spark-SQL ranking metrics + index stats.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from light_splade_spark.index.build import build_index, read_postings, read_terms
+from light_splade_spark.index.manifest import IndexManifest, read_lineage
+from light_splade_spark.index.wand import wand_topk
+from light_splade_spark.operators.metrics import ranking_metrics
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.manifest = IndexManifest.load(index_dir)
+
+    # -- build / open --------------------------------------------------------
+
+    @classmethod
+    def build(cls, spark: SparkSession, docs: DataFrame, index_dir: str,
+              **kwargs) -> "Engine":
+        build_index(spark, docs, index_dir, **kwargs)
+        return cls(spark, index_dir)
+
+    @classmethod
+    def open(cls, spark: SparkSession, index_dir: str) -> "Engine":
+        eng = cls(spark, index_dir)
+        if eng.manifest.status != "complete":
+            raise ValueError(
+                f"index at {index_dir} is incomplete "
+                f"(status={eng.manifest.status}); resume the build first")
+        return eng
+
+    def __len__(self) -> int:
+        """Row count, reference ``sparse_indexer.py:170-171``."""
+        return self.manifest.n_docs
+
+    # -- retrieve ------------------------------------------------------------
+
+    def retrieve(
+        self,
+        queries: list[tuple[int, str]],
+        target_doc_ids: list[int] | None = None,
+        top_k: int = 10,
+        threshold: float = 0.0,
+        return_score: bool = True,
+        mode: str = "bmw",
+    ) -> DataFrame:
+        """-> (qid, rank, doc_id[, score]).
+
+        Reference semantics (``sparse_retriever.py:43-98``): ``top_k=0``
+        returns every doc above threshold; ``target_doc_ids`` restricts
+        scoring to a doc subset and is only legal with a single query.
+        """
+        if target_doc_ids is not None and len(queries) > 1:
+            # mirrors the reference's assertion at sparse_retriever.py:69-72
+            raise AssertionError(
+                "multi-queries with target_doc_ids is not supported")
+        out = wand_topk(self.spark, self.index_dir, queries,
+                        top_k=0 if target_doc_ids is not None else top_k,
+                        threshold=threshold, mode=mode)
+        if target_doc_ids is not None:
+            tgt = self.spark.createDataFrame(
+                [(int(d),) for d in target_doc_ids], "doc_id BIGINT")
+            out = out.join(F.broadcast(tgt), "doc_id", "left_semi")
+            from pyspark.sql import Window
+            w = Window.partitionBy("qid").orderBy(
+                F.desc("score"), F.asc("doc_id"))
+            out = out.withColumn("rank", F.row_number().over(w))
+            if top_k and top_k > 0:
+                out = out.where(F.col("rank") <= top_k)
+            out = out.select("qid", "rank", "doc_id", "score")
+        if not return_score:
+            out = out.drop("score")
+        return out
+
+    # -- stats / lineage -----------------------------------------------------
+
+    def terms(self) -> DataFrame:
+        return read_terms(self.spark, self.index_dir)
+
+    def postings(self) -> DataFrame:
+        return read_postings(self.spark, self.index_dir)
+
+    def doc_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "doc_stats"))
+
+    def stats(self, top_n: int = 20) -> dict:
+        """Index statistics, reference ``sparse_indexer.py:173-198``:
+        avg nonzero per doc, sparsity vs vocab, top-N terms by df ratio —
+        computed from the dims, no postings decode."""
+        n = self.manifest.n_docs
+        t = self.terms()
+        vocab = t.count()
+        tot = t.agg(F.sum("df").alias("s")).collect()[0]["s"]
+        top = (t.orderBy(F.desc("df"), F.asc("term")).limit(top_n)
+               .select("term", F.round(F.col("df") / n, 2).alias("ratio"))
+               .collect())
+        avg_nnz = tot / n if n else 0.0
+        return {
+            "num_docs": n,
+            "avgdl": self.manifest.avgdl,
+            "vocab_size": vocab,
+            "avg_nonzero_count": round(avg_nnz, 4),
+            "avg_sparsity": round(1.0 - avg_nnz / vocab, 6) if vocab else 0.0,
+            "most_common_tokens": [(r["term"], float(r["ratio"])) for r in top],
+        }
+
+    def lineage(self) -> list[dict]:
+        return [p for g in read_lineage(self.index_dir) for p in g["partitions"]]
+
+    # -- evaluate ------------------------------------------------------------
+
+    def evaluate(
+        self,
+        queries: list[tuple[int, str]],
+        qrels: DataFrame,  # (qid, doc_id)
+        k_values: list[int] = (10,),
+        mode: str = "bmw",
+    ) -> dict:
+        """Reference ``Evaluator.evaluate``: retrieve at max(k), compute
+        MRR/NDCG/MAP/recall/precision per cutoff, merge index stats."""
+        max_k = max(k_values)
+        res = self.retrieve(queries, top_k=max_k, threshold=0.0, mode=mode)
+        m = ranking_metrics(res.select("qid", "rank", "doc_id"), qrels,
+                            k_values=list(k_values))
+        out: dict = {}
+        for r in m.collect():
+            k = r["k"]
+            out.update({
+                f"mrr@{k}": r["mrr"], f"ndcg@{k}": r["ndcg"],
+                f"map@{k}": r["ap"], f"recall@{k}": r["recall"],
+                f"precision@{k}": r["prec"],
+            })
+        out.update(self.stats())
+        return out

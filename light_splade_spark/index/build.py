@@ -292,6 +292,7 @@ def build_index(
             n_docs=scalars["n_docs"], avgdl=scalars["avgdl"],
             n_shards=n_shards, n_buckets=n_buckets, run_size=run_size,
             block_size=block_size, n_shard_groups=n_shard_groups,
+            n_salts=n_salts,
         )
         man.created_unix = time.time()
         terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))

@@ -38,6 +38,7 @@ class IndexManifest:
     run_size: int
     block_size: int
     n_shard_groups: int
+    n_salts: int = 8
     completed_groups: list[int] = field(default_factory=list)
     status: str = "building"
     created_unix: float = 0.0

@@ -56,13 +56,29 @@ def _score_shard(
 ) -> pd.DataFrame:
     """Exact per-shard top-k for every query. pdf: posting rows of ONE shard
     restricted to query terms."""
-    decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+    raw: dict[int, list] = {}
     for r in pdf.itertuples(index=False):
         docs, ws = decode_run(bytes(r.postings))
-        decoded[int(r.term_id)] = (
-            docs, ws, np.asarray(r.bm_last, dtype=np.int64),
-            np.asarray(r.bm_max, dtype=np.float32),
-        )
+        raw.setdefault(int(r.term_id), []).append(
+            (docs, ws, np.asarray(r.bm_last, dtype=np.int64),
+             np.asarray(r.bm_max, dtype=np.float32)))
+    decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+    for tid, rows in raw.items():
+        if len(rows) == 1:
+            decoded[tid] = rows[0]
+            continue
+        # multiple posting rows per (shard, term): appended shard groups
+        # (streaming/incremental) — merge-sort by doc id and rebuild block
+        # metadata over the merged list
+        docs = np.concatenate([r[0] for r in rows])
+        ws = np.concatenate([r[1] for r in rows])
+        order = np.argsort(docs, kind="mergesort")
+        docs, ws = docs[order], ws[order]
+        bs = 128
+        bstart = np.arange(0, docs.size, bs)
+        bm_max = np.maximum.reduceat(ws, bstart).astype(np.float32)
+        bm_last = docs[np.minimum(bstart + bs - 1, docs.size - 1)]
+        decoded[tid] = (docs, ws, bm_last, bm_max)
     out_q, out_d, out_s = [], [], []
     for qid, tlist in qplan.items():
         terms = [(qtf, *decoded[tid]) for tid, qtf in tlist if tid in decoded]

@@ -1,0 +1,145 @@
+"""Append-only incremental indexing — batch and Structured Streaming.
+
+The reference's indexer is micro-batch append (``sparse_indexer.py:91-125``)
+with a documented no-update caveat: re-indexing an existing doc id leaves the
+old row in place as a "zombie" (``sparse_indexer.py:99-101``). We mirror that
+contract exactly:
+
+* ``append_batch`` builds postings for the new docs only and writes them as a
+  NEW ``shard_group=append-...`` directory — existing groups are immutable
+  (idempotent partition writes, the checkpoint-resume property holds).
+* Corpus statistics are FROZEN at initial build time (N, avgdl, per-term
+  idf), as in the reference where the encoder's weights don't change when
+  docs are added. Terms unseen at build time get idf from the frozen N and
+  their within-batch df, and are appended to the terms dim.
+* ``stream_append`` wraps it in Structured Streaming ``foreachBatch`` with
+  ``Trigger.AvailableNow`` — the idiomatic incremental-ingest shape: exactly
+  -once per micro-batch via the streaming checkpoint + immutable group dirs
+  keyed by batch id.
+
+Query-side: the WAND kernel merges multiple posting rows per (shard, term)
+(one per shard_group), so appended docs are visible immediately.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from light_splade_spark.functions.analyzers import ANALYZER_VERSION, doc_terms
+from light_splade_spark.index.build import (
+    POSTING_SCHEMA,
+    RUN_SCHEMA,
+    _encode_groups,
+    _merge_groups,
+)
+from light_splade_spark.index.manifest import IndexManifest, write_lineage
+from light_splade_spark.plans.bm25_sql import B, K1
+
+
+def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
+                 batch_id: str, id_col: str = "doc_id",
+                 text_col: str = "text") -> None:
+    """Append new docs to an existing complete index (immutable new group).
+
+    Re-running with the same ``batch_id`` overwrites the same group dir —
+    idempotent, which is what foreachBatch retries require.
+    """
+    man = IndexManifest.load(index_dir)
+    if man.status != "complete":
+        raise ValueError("cannot append to an incomplete index")
+    t0 = time.time()
+    dt = doc_terms(docs, id_col, text_col).cache()
+
+    terms_path = os.path.join(index_dir, "terms")
+    known = spark.read.parquet(terms_path).select("term", "term_id", "idf", "df")
+    batch_terms = dt.groupBy("term").agg(F.count(F.lit(1)).alias("bdf"))
+    new_terms = (
+        batch_terms.join(known.select("term"), "term", "left_anti")
+        .select(
+            "term",
+            F.col("bdf").alias("df"),
+            F.lit(None).cast("bigint").alias("cf"),
+            F.xxhash64("term").alias("term_id"),
+            # frozen-N idf with batch df (documented approximation: the
+            # reference likewise freezes encoder/stats at build time)
+            F.log(1.0 + (F.lit(float(man.n_docs)) - F.col("bdf") + 0.5)
+                  / (F.col("bdf") + 0.5)).alias("idf"),
+        )
+    )
+    # align to the existing terms schema before appending
+    existing_cols = spark.read.parquet(terms_path).columns
+    new_terms.select(*existing_cols).write.mode("append").parquet(terms_path)
+
+    terms_b = F.broadcast(
+        spark.read.parquet(terms_path).select("term", "term_id", "idf", "df"))
+    n_salts_t = F.least(
+        F.lit(man.n_salts),
+        F.ceil(F.col("df") / F.lit(float(man.run_size))).cast("int"))
+    max_doc_b = docs.agg(F.max(id_col)).collect()[0][0]
+    posts = (
+        dt.join(terms_b, "term")
+        .select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(man.n_shards)).cast("int").alias("shard"),
+            F.pmod(F.col("term_id"), F.lit(man.n_buckets)).cast("int").alias("bucket"),
+            "term_id",
+            "doc_id",
+            (
+                F.col("idf") * (F.col("tf") * (K1 + 1.0))
+                / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(man.avgdl)))
+            ).cast("float").alias("w"),
+            F.floor(F.col("doc_id") * n_salts_t / F.lit(int(max_doc_b) + 1))
+            .cast("int").alias("salt"),
+        )
+    )
+    runs = posts.groupBy("shard", "bucket", "salt").applyInPandas(
+        functools.partial(_encode_groups, block_size=man.block_size), RUN_SCHEMA)
+    final = runs.groupBy("shard", "bucket").applyInPandas(
+        _merge_groups, POSTING_SCHEMA)
+    out_dir = os.path.join(index_dir, "postings", f"shard_group=append-{batch_id}")
+    (final.repartition(man.n_buckets, "bucket")
+     .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
+
+    # doc_stats append + lineage
+    from light_splade_spark.functions.analyzers import doc_tokens
+    (doc_tokens(docs, id_col, text_col).select("doc_id", "dl")
+     .write.mode("append").parquet(os.path.join(index_dir, "doc_stats")))
+    written = spark.read.parquet(out_dir)
+    lineage = [r.asDict() for r in written.groupBy("shard", "bucket").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+        F.sum(F.length("postings")).alias("postings_bytes"),
+        F.max("df").alias("max_df"),
+    ).orderBy("shard", "bucket").collect()]
+    for r in lineage:
+        r["wall_sec"] = round(time.time() - t0, 3)
+        r["analyzer_version"] = ANALYZER_VERSION
+        r["append_batch"] = batch_id
+    write_lineage(index_dir, f"append-{batch_id}", lineage)
+    dt.unpersist()
+
+
+def stream_append(spark: SparkSession, index_dir: str, stream: DataFrame,
+                  checkpoint_dir: str, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Structured Streaming sink: every micro-batch becomes one immutable
+    shard group. Returns the started StreamingQuery (AvailableNow trigger:
+    drains what exists, then stops — rerun to pick up new files)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_batch(spark, index_dir, batch_df, str(batch_id),
+                     id_col=id_col, text_col=text_col)
+
+    return (
+        stream.writeStream
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
