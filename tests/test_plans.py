@@ -67,7 +67,8 @@ def test_bm25_uses_hash_aggregate_topk_pushdown_and_codegen(spark, docs):
     assert "WindowGroupLimit" in plan       # rank<=k pushed below the window
     df.collect()                            # finalize AQE to see codegen spans
     final = _plan(df)
-    assert "WholeStageCodegen" in final
+    # "*(n)" node prefix marks WholeStageCodegen spans in plan toString
+    assert "*(" in final
 
 
 def test_tokenizer_is_jvm_side(spark, docs):
