@@ -248,6 +248,37 @@ def q_orders_per_cust_csv(spark, sf_dir):
                             lambda x: x.cast("string")), ",").alias("orderkeys")))
 
 
+def q_events_json(spark, sf_dir):
+    """F1 JSON decode: extract props.k and aggregate per event_type."""
+    e = _tbl(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (e.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"),
+                 F.round(F.avg("k"), 4).alias("avg_k"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def q_char_budget(spark, sf_dir):
+    """P2/P7 char-budget truncation with column arithmetic (reference
+    models/splade.py:229-231, run_predict_cross_encoder.py:106-119)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        (50 + F.col("doc_id") % 40).alias("budget"),
+        F.md5(F.expr("substring(text, 1, int(50 + doc_id % 40))")).alias("trunc_md5"),
+    )
+
+
+def q_dup_components(spark, sf_dir):
+    """Connected components over the verified near-dup pair graph —
+    iterative min-label propagation, oracle = DuckDB recursive CTE."""
+    from light_splade_spark.operators.dedup import connected_components
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.8)
+    return connected_components(pairs).select("node", "component")
+
+
 def q_events_agg(spark, sf_dir):
     e = _tbl(spark, sf_dir, "events")
     return (e.groupBy("event_type")
@@ -285,6 +316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nations_cust_not_supp": q_nations_cust_not_supp,
         "orders_per_cust_csv": q_orders_per_cust_csv,
         "events_agg": q_events_agg,
+        "events_json": q_events_json,
+        "char_budget": q_char_budget,
+        "dup_components": q_dup_components,
     }
 
 
@@ -647,5 +681,48 @@ FROM orders WHERE o_custkey < 20 GROUP BY o_custkey
 SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
        round(avg(value), 4) AS avg_value
 FROM events GROUP BY event_type
+"""
+
+    o["events_json"] = """
+SELECT event_type,
+       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+       round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+    o["char_budget"] = """
+SELECT doc_id, 50 + doc_id % 40 AS budget,
+       md5(substr(text, 1, CAST(50 + doc_id % 40 AS INT))) AS trunc_md5
+FROM documents
+"""
+
+    o["dup_components"] = f"""
+WITH RECURSIVE
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_TOK}) AS sh
+  FROM documents WHERE doc_id < 200
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jp AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON doc_a = sa.doc_id
+  JOIN sz sb ON doc_b = sb.doc_id
+  WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM jp
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM jp),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS node, least(s, min(d)) AS component
+FROM reach GROUP BY s
 """
     return o

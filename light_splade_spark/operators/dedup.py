@@ -223,3 +223,69 @@ def simhash_dupes(docs: DataFrame, id_col: str = "doc_id",
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- duplicate clusters (connected components) -------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(node BIGINT, component BIGINT) — component = min node id reachable.
+
+    Iterative min-label propagation over the dup-pair graph (pairs from any
+    of the candidate generators above). Near-dup graphs have tiny diameter,
+    so this converges in a handful of joins; each iteration localCheckpoints
+    to cut lineage (driver loop, but every step is a distributed join —
+    the standard Spark CC shape when GraphFrames isn't available).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                  F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("component"),
+                        F.coalesce(F.col("nmin"), F.col("component")))
+                .alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Collapse near-dup pairs into clusters: (component, size, keeper,
+    doc_ids CSV). Singletons (docs in no pair) are excluded."""
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.min("node").alias("keeper"),
+            F.array_join(F.sort_array(F.collect_list("node")), ",").alias("doc_ids"),
+        )
+        .where(F.col("size") > 1)
+    )
