@@ -279,6 +279,46 @@ def q_dup_components(spark, sf_dir):
     return connected_components(pairs).select("node", "component")
 
 
+def q_splade_expansion(spark, sf_dir):
+    """A1/F4: log1p∘relu pseudo-encoder weights, MAX over token positions."""
+    from light_splade_spark.functions.analyzers import splade_expansion
+    return splade_expansion(_docs(spark, sf_dir).where(F.col("doc_id") < 30))
+
+
+def q_doc_topterms(spark, sf_dir):
+    """T2: per-doc term weights sorted desc (top 3 by BM25 weight, tie->term)."""
+    from pyspark.sql import Window
+    from light_splade_spark.functions.analyzers import doc_terms
+    from light_splade_spark.plans.bm25_sql import K1, B as B_
+
+    docs = _docs(spark, sf_dir)
+    dt = doc_terms(docs)
+    row = (dt.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+           .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+           .collect()[0])
+    n, avgdl = int(row["n"]), float(row["avgdl"])
+    dfd = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (F.log(1.0 + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+         * (F.col("tf") * (K1 + 1.0))
+         / (F.col("tf") + K1 * (1.0 - B_ + B_ * F.col("dl") / F.lit(avgdl))))
+    scored = dt.join(F.broadcast(dfd), "term").select(
+        "doc_id", "term", F.round(w, 4).alias("weight"))
+    win = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term"))
+    return (scored.withColumn("pos", F.row_number().over(win))
+            .where(F.col("pos") <= 3).select("doc_id", "pos", "term", "weight"))
+
+
+def q_inverse_sigmoid(spark, sf_dir):
+    """F7: ln(p) - ln(1-p) with ±1e6 clamps (reference
+    run_predict_cross_encoder.py:45-54); p derived by exact integer
+    arithmetic so it stays strictly inside (0,1) in both engines."""
+    e = _tbl(spark, sf_dir, "events")
+    p = (1.0 + F.pmod(F.floor(F.col("value") * 100), F.lit(998))) / 1000.0
+    logit = F.log(p) - F.log(1.0 - p)
+    clamped = F.when(logit > 1e6, 1e6).when(logit < -1e6, -1e6).otherwise(logit)
+    return e.select("event_id", F.round(clamped, 3).alias("logit"))
+
+
 def q_events_agg(spark, sf_dir):
     e = _tbl(spark, sf_dir, "events")
     return (e.groupBy("event_type")
@@ -319,6 +359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "char_budget": q_char_budget,
         "dup_components": q_dup_components,
+        "splade_expansion": q_splade_expansion,
+        "doc_topterms": q_doc_topterms,
+        "inverse_sigmoid": q_inverse_sigmoid,
     }
 
 
@@ -695,6 +738,59 @@ FROM events GROUP BY event_type
 SELECT doc_id, 50 + doc_id % 40 AS budget,
        md5(substr(text, 1, CAST(50 + doc_id % 40 AS INT))) AS trunc_md5
 FROM documents
+"""
+
+    o["splade_expansion"] = f"""
+WITH d AS (SELECT doc_id, {_TOK} AS t FROM documents WHERE doc_id < 30),
+pw AS (
+  SELECT doc_id, unnest(list_transform(range(0, len(t)), i -> {{
+    'term': t[i + 1],
+    'wp': ln(1 + greatest(
+      ((('0x' || substr(md5(t[i + 1] || '#' || i), 1, 15))::BIGINT % 1000)
+        / 250.0 - 2.0), 0.0))
+  }})) AS s
+  FROM d)
+SELECT doc_id, s.term AS term, round(max(s.wp), 4) AS weight
+FROM pw GROUP BY doc_id, s.term
+HAVING round(max(s.wp), 4) > 0
+"""
+
+    o["doc_topterms"] = f"""
+WITH {_TOK_CTE},
+dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tdf AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+scored AS (
+  SELECT dt.doc_id, dt.term,
+         round(
+           ln(1.0 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+           * (dt.tf * ({bm25_sql.K1} + 1.0))
+             / (dt.tf + {bm25_sql.K1}
+                * (1.0 - {bm25_sql.B} + {bm25_sql.B} * dl.dl / s.avgdl)), 4
+         ) AS weight
+  FROM dt JOIN tdf ON dt.term = tdf.term
+  JOIN dl ON dt.doc_id = dl.doc_id
+  CROSS JOIN stats s),
+ranked AS (
+  SELECT doc_id, term, weight,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY weight DESC, term ASC) AS pos
+  FROM scored)
+SELECT doc_id, pos, term, weight FROM ranked WHERE pos <= 3
+"""
+
+    o["inverse_sigmoid"] = """
+WITH p AS (
+  SELECT event_id,
+         (1.0 + (CAST(floor(value * 100) AS BIGINT) % 998)) / 1000.0 AS pr
+  FROM events),
+l AS (SELECT event_id, ln(pr) - ln(1.0 - pr) AS logit FROM p)
+SELECT event_id,
+       round(CASE WHEN logit > 1e6 THEN 1e6
+                  WHEN logit < -1e6 THEN -1e6
+                  ELSE logit END, 3) AS logit
+FROM l
 """
 
     o["dup_components"] = f"""

@@ -108,6 +108,40 @@ def doc_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def splade_expansion(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """SPLADE-style term-weight expansion with a deterministic stand-in
+    encoder (reference ``models/splade.py:136-180``): per token position a
+    pseudo-logit is derived from a cross-engine hash of (term, position),
+    weighted by log1p(relu(logit)), then MAX-aggregated over positions per
+    (doc, term) — exactly the reference's ``agg="max"`` path — and rounded to
+    4 decimals like ``to_sparse`` (``models/splade.py:174``). Zero weights
+    are dropped (the reference's nonzero gather, ``models/splade.py:168``).
+
+    A real deployment swaps the pseudo-logit for an Arrow pandas-UDF model
+    forward pass; every downstream operator (explode, max-agg, round,
+    nonzero filter) is unchanged.
+    """
+    toks = tokens_col(text_col)
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "term"),
+    )
+    # 60-bit md5 hash -> pseudo-logit in [-2, 2)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("term"), F.lit("#"),
+                                   F.col("pos").cast("string"))), 1, 15),
+        16, 10).cast("bigint")
+    logit = (h % 1000) / 250.0 - 2.0
+    w = F.log1p(F.greatest(logit, F.lit(0.0)))
+    return (
+        pos.select("doc_id", "term", w.alias("wp"))
+        .groupBy("doc_id", "term")
+        .agg(F.round(F.max("wp"), 4).alias("weight"))
+        .where(F.col("weight") > 0)
+    )
+
+
 def query_terms(queries: DataFrame, id_col: str = "qid",
                 text_col: str = "text") -> DataFrame:
     """(qid, term, qtf) — duplicate query terms keep their multiplicity,
