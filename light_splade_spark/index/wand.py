@@ -176,18 +176,33 @@ def _bmw(terms, top_k: int) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(cand_docs), np.concatenate(cand_scores)
 
 
+# per-process cache of term -> term_id lookups, keyed by index identity
+# (terms dir mtime changes when incremental append adds new term files);
+# only ever holds terms that queries actually asked for
+_TERMS_CACHE: dict[tuple[str, float], dict[str, int | None]] = {}
+
+
 def build_query_plan(
     spark: SparkSession, index_dir: str, queries: list[tuple[int, str]]
 ) -> tuple[dict[int, list[tuple[int, int]]], list[int], list[int]]:
     """-> (qid -> [(term_id, qtf)], term_ids, buckets)."""
+    import os as _os
+
     man = IndexManifest.load(index_dir)
     vocab_needed = sorted({t for _, text in queries for t in py_tokenize(text)})
-    tmap = {
-        r["term"]: int(r["term_id"])
-        for r in read_terms(spark, index_dir)
-        .where(F.col("term").isin(vocab_needed))
-        .select("term", "term_id").collect()
-    }
+    key = (index_dir, _os.path.getmtime(_os.path.join(index_dir, "terms")))
+    cached = _TERMS_CACHE.setdefault(key, {})
+    missing = [t for t in vocab_needed if t not in cached]
+    if missing:
+        found = {
+            r["term"]: int(r["term_id"])
+            for r in read_terms(spark, index_dir)
+            .where(F.col("term").isin(missing))
+            .select("term", "term_id").collect()
+        }
+        for t in missing:
+            cached[t] = found.get(t)  # None = known-absent, cached too
+    tmap = {t: cached[t] for t in vocab_needed if cached[t] is not None}
     qplan: dict[int, list[tuple[int, int]]] = {}
     for qid, text in queries:
         counts = Counter(py_tokenize(text))
