@@ -57,7 +57,7 @@ def run_suite(master: str, shuffle_partitions: int = 32) -> dict:
     idx_dir = tempfile.mkdtemp(prefix="lss_bench_idx_")
     try:
         q["index_build"], _ = _timed(lambda: build_index(
-            spark, docs, idx_dir, n_shards=16, n_buckets=16, n_salts=8,
+            spark, docs, idx_dir, n_shards=None, n_buckets=16, n_salts=8,
             n_shard_groups=1, run_size=4096))
         extras["index_build_docs_per_sec"] = round(n_docs / q["index_build"], 1)
         pb = read_postings(spark, idx_dir).agg(
@@ -134,7 +134,7 @@ def run_scaling(master: str, n_docs: int, shuffle_partitions: int = 64) -> dict:
     idx_dir = tempfile.mkdtemp(prefix="lss_scale_idx_")
     try:
         t_build, _ = _timed(lambda: build_index(
-            spark, docs, idx_dir, n_shards=16, n_buckets=16, n_salts=8,
+            spark, docs, idx_dir, n_shards=None, n_buckets=16, n_salts=8,
             n_shard_groups=1, run_size=4096))
         t_query, _ = _timed(lambda: _noop(
             wand_topk(spark, idx_dir, SCALING_QUERIES, top_k=10, mode="bmw")))
