@@ -76,20 +76,9 @@ class Engine:
             # mirrors the reference's assertion at sparse_retriever.py:69-72
             raise AssertionError(
                 "multi-queries with target_doc_ids is not supported")
-        out = wand_topk(self.spark, self.index_dir, queries,
-                        top_k=0 if target_doc_ids is not None else top_k,
-                        threshold=threshold, mode=mode)
-        if target_doc_ids is not None:
-            tgt = self.spark.createDataFrame(
-                [(int(d),) for d in target_doc_ids], "doc_id BIGINT")
-            out = out.join(F.broadcast(tgt), "doc_id", "left_semi")
-            from pyspark.sql import Window
-            w = Window.partitionBy("qid").orderBy(
-                F.desc("score"), F.asc("doc_id"))
-            out = out.withColumn("rank", F.row_number().over(w))
-            if top_k and top_k > 0:
-                out = out.where(F.col("rank") <= top_k)
-            out = out.select("qid", "rank", "doc_id", "score")
+        out = wand_topk(self.spark, self.index_dir, queries, top_k=top_k,
+                        threshold=threshold, mode=mode,
+                        target_doc_ids=target_doc_ids)
         if not return_score:
             out = out.drop("score")
         return out

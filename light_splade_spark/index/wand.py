@@ -53,12 +53,28 @@ def _score_shard(
     top_k: int,
     threshold: float,
     mode: str,
+    target_docs: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Exact per-shard top-k for every query. pdf: posting rows of ONE shard
-    restricted to query terms."""
+    restricted to query terms. ``target_docs`` (sorted int64) restricts
+    scoring to a doc subset at decode time — the reference's row-gather
+    (sparse_indexer.py:163-168) pushed into the kernel instead of filtering
+    a full-corpus result."""
     raw: dict[int, list] = {}
     for r in pdf.itertuples(index=False):
         docs, ws = decode_run(bytes(r.postings))
+        if target_docs is not None:
+            keep = np.isin(docs, target_docs, assume_unique=False)
+            docs, ws = docs[keep], ws[keep]
+            if docs.size == 0:
+                continue
+            # block meta no longer matches the filtered list; rebuild
+            bs = 128
+            bstart = np.arange(0, docs.size, bs)
+            bm_max = np.maximum.reduceat(ws, bstart).astype(np.float32)
+            bm_last = docs[np.minimum(bstart + bs - 1, docs.size - 1)]
+            raw.setdefault(int(r.term_id), []).append((docs, ws, bm_last, bm_max))
+            continue
         raw.setdefault(int(r.term_id), []).append(
             (docs, ws, np.asarray(r.bm_last, dtype=np.int64),
              np.asarray(r.bm_max, dtype=np.float32)))
@@ -221,10 +237,13 @@ def wand_topk(
     top_k: int = 10,
     threshold: float = 0.0,
     mode: str = "bmw",
+    target_doc_ids: list[int] | None = None,
 ) -> DataFrame:
     """-> DataFrame(qid, rank, doc_id, score) — rank-identical to the exact
     SQL path (plans/bm25_sql.score_bm25) on the same corpus."""
     qplan, tids, buckets = build_query_plan(spark, index_dir, queries)
+    target = (np.unique(np.asarray(target_doc_ids, dtype=np.int64))
+              if target_doc_ids is not None else None)
     if not qplan:
         return spark.createDataFrame([], "qid BIGINT, rank INT, doc_id BIGINT, score DOUBLE")
     posts = (
@@ -233,7 +252,8 @@ def wand_topk(
         .select("shard", "term_id", "postings", "bm_last", "bm_max")
     )
     kernel = functools.partial(
-        _score_shard, qplan=qplan, top_k=top_k, threshold=threshold, mode=mode
+        _score_shard, qplan=qplan, top_k=top_k, threshold=threshold, mode=mode,
+        target_docs=target,
     )
     shard_hits = posts.groupBy("shard").applyInPandas(
         kernel, "qid BIGINT, doc_id BIGINT, score DOUBLE"
