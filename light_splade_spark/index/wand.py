@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from light_splade_spark.functions.analyzers import py_tokenize
+from light_splade_spark.functions.analyzers import ANALYZER_VERSION, py_tokenize
 from light_splade_spark.functions.vbyte import decode_run
 from light_splade_spark.index.build import read_postings, read_terms
 from light_splade_spark.index.manifest import IndexManifest
@@ -205,6 +205,11 @@ def build_query_plan(
     import os as _os
 
     man = IndexManifest.load(index_dir)
+    if man.analyzer_version != ANALYZER_VERSION:
+        raise ValueError(
+            f"index built with analyzer {man.analyzer_version!r} but this "
+            f"engine runs {ANALYZER_VERSION!r}; rebuild or pin the analyzer "
+            "(tokenization must be identical on both sides)")
     vocab_needed = sorted({t for _, text in queries for t in py_tokenize(text)})
     key = (index_dir, _os.path.getmtime(_os.path.join(index_dir, "terms")))
     cached = _TERMS_CACHE.setdefault(key, {})
