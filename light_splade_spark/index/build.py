@@ -222,8 +222,14 @@ def build_dims(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """
     from pyspark.sql import Observation
 
-    from light_splade_spark.functions.analyzers import doc_tokens
+    from light_splade_spark.functions.analyzers import doc_tokens, tokens_col
 
+    # NOTE (scale trade-off, see DESIGN.md): here the (doc, term) pair agg
+    # carries term strings. A variant that hashes terms pre-shuffle (strings
+    # then only cross the wire in a vocab-sized map-side-combined agg) costs
+    # one extra tokenize pass; on a network-shuffle cluster at PB scale that
+    # trade wins, on this single-node sandbox the extra scan loses (~+25%
+    # wall), so the two-pass shape ships as default.
     dt = doc_terms(docs, id_col, text_col).cache()
     doc_stats = doc_tokens(docs, id_col, text_col).select("doc_id", "dl")
     obs = Observation("corpus_scalars")
@@ -240,16 +246,17 @@ def build_dims(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         got = {"n": r["n"], "avgdl": r["avgdl"], "max_doc": r["max_doc"]}
     scalars = {"n_docs": int(got["n"]), "avgdl": float(got["avgdl"]),
                "max_doc": int(got["max_doc"])}
-    terms = dt.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+    terms = (dt.groupBy("term")
+             .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+             .withColumn("tid", F.xxhash64("term")))
     if term_id_mode == "dense":
         terms = with_dense_id(terms, [F.desc("df"), F.asc("term")], "term_id")
     else:
-        terms = terms.withColumn("term_id", F.xxhash64("term"))
-    terms = terms.withColumn(
-        "idf",
+        terms = terms.withColumn("term_id", F.col("tid"))
+    terms = terms.select(
+        "term", "term_id", "tid", "df", "cf",
         F.log(1.0 + (F.lit(float(scalars["n_docs"])) - F.col("df") + 0.5)
-              / (F.col("df") + 0.5)),
+              / (F.col("df") + 0.5)).alias("idf"),
     )
     return dt, terms, scalars
 

@@ -65,6 +65,7 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
             F.col("bdf").alias("df"),
             F.lit(None).cast("bigint").alias("cf"),
             F.xxhash64("term").alias("term_id"),
+            F.xxhash64("term").alias("tid"),
             # frozen-N idf with batch df (documented approximation: the
             # reference likewise freezes encoder/stats at build time)
             F.log(1.0 + (F.lit(float(man.n_docs)) - F.col("bdf") + 0.5)
