@@ -222,7 +222,7 @@ def build_dims(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """
     from pyspark.sql import Observation
 
-    from light_splade_spark.functions.analyzers import doc_tokens, tokens_col
+    from light_splade_spark.functions.analyzers import doc_tokens
 
     # NOTE (scale trade-off, see DESIGN.md): here the (doc, term) pair agg
     # carries term strings. A variant that hashes terms pre-shuffle (strings
