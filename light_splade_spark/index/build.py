@@ -244,6 +244,8 @@ def build_dims(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                           F.avg("dl").alias("avgdl"),
                           F.max("doc_id").alias("max_doc")).collect()[0]
         got = {"n": r["n"], "avgdl": r["avgdl"], "max_doc": r["max_doc"]}
+    if got["n"] is None or int(got["n"]) == 0 or got["avgdl"] is None:
+        raise ValueError("cannot build an index over an empty corpus")
     scalars = {"n_docs": int(got["n"]), "avgdl": float(got["avgdl"]),
                "max_doc": int(got["max_doc"])}
     terms = (dt.groupBy("term")

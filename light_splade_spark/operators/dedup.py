@@ -89,12 +89,20 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = MINHASH_K,
                       band_size: int = LSH_BAND_SIZE,
-                      shingle_n: int = SHINGLE_N) -> DataFrame:
+                      shingle_n: int = SHINGLE_N,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) sharing >=1 LSH band.
 
     Bands of `band_size` consecutive signature slots are concatenated and
     md5'd; docs are grouped per band value (the LSH bucket join) — never a
-    cross join. Dedup across bands via DISTINCT on the pair."""
+    cross join. Dedup across bands via DISTINCT on the pair.
+
+    ``max_bucket_size``: at web scale a boilerplate mega-cluster (one band
+    value shared by millions of pages) makes the bucket self-join quadratic.
+    Buckets above the cap are excluded here (count via window, one pass) —
+    the standard move: route oversized buckets to exact-hash grouping
+    (`exact_duplicates`) or to clustering on the keeper instead.
+    """
     sig = minhash_signature(docs, id_col, text_col, k, shingle_n)
     n_bands = k // band_size
     bands = []
@@ -109,6 +117,11 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     allb = bands[0]
     for b in bands[1:]:
         allb = allb.unionByName(b)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+        cnt = F.count(F.lit(1)).over(Window.partitionBy("band"))
+        allb = allb.withColumn("_n", cnt).where(
+            F.col("_n") <= max_bucket_size).drop("_n")
     a = allb.alias("a")
     b = allb.alias("b")
     return (
