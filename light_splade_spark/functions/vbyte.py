@@ -127,14 +127,18 @@ def encode_run(doc_ids: np.ndarray, weights: np.ndarray, base: int = -1) -> byte
     return _write_varint_scalar(n) + vbyte_encode(deltas) + weights.tobytes()
 
 
-def decode_run(buf: bytes, base: int = -1) -> tuple[np.ndarray, np.ndarray]:
-    """-> (doc_ids int64, weights float32)."""
+def decode_run(buf: bytes, base: int = -1,
+               weight_bits: int = 32) -> tuple[np.ndarray, np.ndarray]:
+    """-> (doc_ids int64, weights float32 or uint8 codes for weight_bits=8)."""
     arr = np.frombuffer(buf, dtype=np.uint8)
     (nv,), off = vbyte_decode(arr, 1, 0)
     n = int(nv)
     deltas, off = vbyte_decode(arr, n, off)
     doc_ids = np.cumsum(deltas.astype(np.int64)) + base
-    weights = np.frombuffer(buf, dtype=np.float32, count=n, offset=off)
+    if weight_bits == 8:
+        weights = np.frombuffer(buf, dtype=np.uint8, count=n, offset=off)
+    else:
+        weights = np.frombuffer(buf, dtype=np.float32, count=n, offset=off)
     return doc_ids, weights
 
 

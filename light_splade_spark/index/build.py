@@ -81,10 +81,11 @@ def _block_meta(docs: np.ndarray, ws: np.ndarray, starts: np.ndarray,
     # contiguous so reduceat(ws, bstart)[i] reduces [bstart[i], bstart[i+1])
     # which equals [bstart[i], bend[i]) because blocks tile the segments.
     bm_last = docs[bend - 1]
-    return nb, bm_last, bm_max.astype(np.float32)
+    return nb, bm_last, bm_max.astype(np.float32), bstart, bend
 
 
-def _encode_groups(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+def _encode_groups(pdf: pd.DataFrame, block_size: int,
+                   weight_bits: int = 32) -> pd.DataFrame:
     """Phase-1 kernel: one (shard,bucket,salt) slice -> per-term encoded runs.
 
     Fully vectorized: one sort, one bulk VByte encode of every delta in the
@@ -120,9 +121,21 @@ def _encode_groups(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     tail_rank = np.cumsum(is_tail) - is_tail.astype(np.int64)  # rank at pos
     t_lo = tail_rank[starts]
     t_hi = t_lo + (ends - starts - 1)
-    nb, bm_last_all, bm_max_all = _block_meta(docs, ws, starts, ends, block_size)
+    nb, bm_last_all, bm_max_all, bstart, bend = _block_meta(
+        docs, ws, starts, ends, block_size)
     nb_off = np.concatenate(([0], np.cumsum(nb)))
-    wbytes = ws.tobytes()  # little-endian float32
+    if weight_bits == 8:
+        # block-relative quantization: q = round(w / block_max * 255);
+        # dequant q*scale/255 <= block_max, so the WAND bound stays valid
+        scale_pos = np.repeat(bm_max_all, bend - bstart)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.where(scale_pos > 0, ws / scale_pos, 0.0) * 255.0
+        wq = np.clip(np.rint(q), 0, 255).astype(np.uint8)
+        wbytes = wq.tobytes()
+        wwidth = 1
+    else:
+        wbytes = ws.tobytes()  # little-endian float32
+        wwidth = 4
     o_lo, o_hi = offs[t_lo], offs[t_hi]
     # column-wise construction: no per-row tuple materialization
     return pd.DataFrame({
@@ -134,7 +147,7 @@ def _encode_groups(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         "last_doc": docs[ends - 1],
         "n": (ends - starts).astype(np.int64),
         "dtail": [bytes(buf[a:b]) for a, b in zip(o_lo, o_hi)],
-        "wblob": [wbytes[4 * s: 4 * e] for s, e in zip(starts, ends)],
+        "wblob": [wbytes[wwidth * s: wwidth * e] for s, e in zip(starts, ends)],
         "bm_last": [bm_last_all[a:b].tolist()
                     for a, b in zip(nb_off[:-1], nb_off[1:])],
         "bm_max": [bm_max_all[a:b].tolist()
@@ -275,6 +288,7 @@ def build_index(
     n_shard_groups: int = 4,
     block_size: int = 128,
     run_size: int = 1 << 16,
+    weight_bits: int = 32,
     resume: bool = False,
     fail_after_group: int | None = None,  # test hook: simulate a crash
 ) -> IndexManifest:
@@ -301,7 +315,7 @@ def build_index(
             n_docs=scalars["n_docs"], avgdl=scalars["avgdl"],
             n_shards=n_shards, n_buckets=n_buckets, run_size=run_size,
             block_size=block_size, n_shard_groups=n_shard_groups,
-            n_salts=n_salts,
+            n_salts=n_salts, weight_bits=weight_bits,
         )
         man.created_unix = time.time()
         terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
@@ -341,7 +355,8 @@ def build_index(
     )
 
     shards_per_group = (n_shards + n_shard_groups - 1) // n_shard_groups
-    phase1 = functools.partial(_encode_groups, block_size=block_size)
+    phase1 = functools.partial(_encode_groups, block_size=block_size,
+                               weight_bits=man.weight_bits)
     for group in range(n_shard_groups):
         if group in man.completed_groups:
             continue

@@ -39,6 +39,7 @@ class IndexManifest:
     block_size: int
     n_shard_groups: int
     n_salts: int = 8
+    weight_bits: int = 32
     completed_groups: list[int] = field(default_factory=list)
     status: str = "building"
     created_unix: float = 0.0

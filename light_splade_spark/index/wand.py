@@ -54,6 +54,7 @@ def _score_shard(
     threshold: float,
     mode: str,
     target_docs: np.ndarray | None = None,
+    weight_bits: int = 32,
 ) -> pd.DataFrame:
     """Exact per-shard top-k for every query. pdf: posting rows of ONE shard
     restricted to query terms. ``target_docs`` (sorted int64) restricts
@@ -62,7 +63,16 @@ def _score_shard(
     a full-corpus result."""
     raw: dict[int, list] = {}
     for r in pdf.itertuples(index=False):
-        docs, ws = decode_run(bytes(r.postings))
+        docs, ws = decode_run(bytes(r.postings), weight_bits=weight_bits)
+        if weight_bits == 8:
+            # dequantize against per-block maxima: block end positions are
+            # recoverable from bm_last (doc ids are strictly ascending)
+            bm_last = np.asarray(r.bm_last, dtype=np.int64)
+            bm_max = np.asarray(r.bm_max, dtype=np.float32)
+            ends = np.searchsorted(docs, bm_last, side="right")
+            sizes = np.diff(np.concatenate(([0], ends)))
+            scale = np.repeat(bm_max, sizes)
+            ws = (ws.astype(np.float32) / 255.0) * scale
         if target_docs is not None:
             keep = np.isin(docs, target_docs, assume_unique=False)
             docs, ws = docs[keep], ws[keep]
@@ -256,9 +266,10 @@ def wand_topk(
         .where(F.col("bucket").isin(buckets) & F.col("term_id").isin(tids))
         .select("shard", "term_id", "postings", "bm_last", "bm_max")
     )
+    man = IndexManifest.load(index_dir)
     kernel = functools.partial(
         _score_shard, qplan=qplan, top_k=top_k, threshold=threshold, mode=mode,
-        target_docs=target,
+        target_docs=target, weight_bits=man.weight_bits,
     )
     shard_hits = posts.groupBy("shard").applyInPandas(
         kernel, "qid BIGINT, doc_id BIGINT, score DOUBLE"

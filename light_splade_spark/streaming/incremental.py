@@ -98,7 +98,8 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
         )
     )
     runs = posts.groupBy("shard", "bucket", "salt").applyInPandas(
-        functools.partial(_encode_groups, block_size=man.block_size), RUN_SCHEMA)
+        functools.partial(_encode_groups, block_size=man.block_size,
+                          weight_bits=man.weight_bits), RUN_SCHEMA)
     final = runs.groupBy("shard", "bucket").applyInPandas(
         _merge_groups, POSTING_SCHEMA)
     out_dir = os.path.join(index_dir, "postings", f"shard_group=append-{batch_id}")
