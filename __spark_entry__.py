@@ -167,6 +167,11 @@ def q_ann_lsh_topk(spark, sf_dir):
                                    query_ids=list(range(10)), k=5, n_planes=6)
 
 
+def q_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(_emb(spark, sf_dir), query_ids=list(range(10)),
+                               k=5, n_centroids=8, n_probe=2)
+
+
 def q_lang_id(spark, sf_dir):
     return tq.lang_id(_docs(spark, sf_dir))
 
@@ -345,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_neardup": q_cosine_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -576,6 +582,38 @@ ranked AS (
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
   FROM scored)
 SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5
+"""
+
+    cosexpr = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+               " * sqrt(list_dot_product({b}, {b})))")
+    o["ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS ci, v AS cv FROM e WHERE vec_id < 8),
+ranked_c AS (
+  SELECT e.vec_id, c.ci,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({cosexpr.format(a='e.v', b='c.cv')}, 6) DESC, c.ci
+         ) AS rn
+  FROM e CROSS JOIN c),
+ass AS (SELECT vec_id AS nid, ci AS list_id FROM ranked_c WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS qid, ci AS list_id FROM ranked_c
+  WHERE rn <= 2 AND vec_id < 10),
+scored AS (
+  SELECT p.qid, a.nid,
+         round({cosexpr.format(a='qe.v', b='ne.v')}, 4) AS cos
+  FROM probes p
+  JOIN ass a ON p.list_id = a.list_id
+  JOIN e qe ON qe.vec_id = p.qid
+  JOIN e ne ON ne.vec_id = a.nid
+  WHERE p.qid <> a.nid),
+dedup AS (SELECT DISTINCT qid, nid, cos FROM scored),
+fin AS (
+  SELECT qid, nid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+  FROM dedup)
+SELECT qid, rank, nid, cos FROM fin WHERE rank <= 5
 """
 
     lang_case = []

@@ -103,6 +103,56 @@ def lsh_bucket_col(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = the first ``n_centroids`` corpus
+    vectors (deterministic, oracle-able stand-in for k-means centroids);
+    every vector is assigned to its nearest centroid (inverted list), a
+    query probes its ``n_probe`` nearest lists and re-ranks exactly within
+    them. At 100 TB: corpus shuffles once on centroid id; queries touch
+    n_probe/n_centroids of the data."""
+    from pyspark.sql import Window
+
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.select(id_col, vec_col).orderBy(id_col)
+        .limit(n_centroids).collect()
+    ]
+
+    def _best_lists(vec, n):
+        scored = F.array(*[
+            F.struct(F.round(cosine_col(vec, F.array(*[F.lit(x) for x in cv])),
+                             6).alias("c"),
+                     F.lit(-ci).alias("nr"), F.lit(ci).alias("ci"))
+            for ci, cv in cents
+        ])
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+        return F.transform(top, lambda s: s["ci"])
+
+    base = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    assigned = base.withColumn("list_id", _best_lists(F.col("nv"), 1)[0])
+    q = (base.where(F.col("nid").isin(query_ids))
+         .select(F.col("nid").alias("qid"), F.col("nv").alias("qv"),
+                 F.explode(_best_lists(F.col("nv"), n_probe)).alias("list_id")))
+    scored = (
+        assigned.join(F.broadcast(q), "list_id")
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(cosine_col(F.col("qv"), F.col("nv")),
+                                      SCORE_DECIMALS).alias("cos"))
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k).select("qid", "rank", "nid", "cos"))
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_ids: list[int],
