@@ -62,6 +62,42 @@ def extract_features(media: DataFrame, decoder: str = "fake",
     return media.mapInPandas(run, FEATURES_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int = 224, height: int = 224,
+                  decoder: str = "fake") -> DataFrame:
+    """Image resize plumbing (mapInPandas, Arrow-batched): output schema,
+    metadata rewrite, and payload transform are real; the pixel work is the
+    stub (md5-chained deterministic bytes) until PIL is available."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            out_meta = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "image" or r.payload is None:
+                    out_payload.append(None)
+                    out_meta.append(None)
+                    continue
+                if decoder == "real":
+                    # >>> real path: PIL.Image.open(bytes).resize((w, h)) <<<
+                    raise NotImplementedError(
+                        "real image decode not available in this environment")
+                seed = hashlib.md5(
+                    bytes(r.payload) + f"|{width}x{height}".encode()).digest()
+                out_payload.append(bytearray(seed * 4))  # deterministic stub
+                m = dict(r.meta.asDict()) if hasattr(r.meta, "asDict") else dict(r.meta or {})
+                m["width"], m["height"] = width, height
+                out_meta.append((m.get("width"), m.get("height"),
+                                 m.get("duration_ms"), m.get("mime")))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": out_payload,
+                "meta": out_meta,
+            })
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled timestamp
     (payload decode stubbed; timestamps computed from metadata)."""

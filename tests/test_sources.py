@@ -101,3 +101,18 @@ def test_frame_sample(spark, media):
     rows = frame_sample(media, every_ms=1000).collect()
     got = sorted((r["media_id"], r["ts_ms"]) for r in rows)
     assert got == [(3, 0), (3, 1000), (3, 2000), (3, 3000)]
+
+
+def test_resize_images_plumbing(spark, media):
+    from light_splade_spark.operators.multimodal import resize_images
+    out = resize_images(media, 64, 64).orderBy("media_id").collect()
+    imgs = [r for r in out if r["kind"] == "image"]
+    assert all(r["meta"]["width"] == 64 and r["meta"]["height"] == 64
+               for r in imgs)
+    assert all(r["payload"] is not None for r in imgs)
+    vid = [r for r in out if r["kind"] == "video"][0]
+    assert vid["payload"] is None  # non-images pass through untouched
+    # deterministic across runs
+    again = resize_images(media, 64, 64).orderBy("media_id").collect()
+    assert [bytes(r["payload"]) if r["payload"] else None for r in out] == \
+           [bytes(r["payload"]) if r["payload"] else None for r in again]
