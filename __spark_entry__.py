@@ -78,15 +78,24 @@ def q_wand_topk(spark, sf_dir):
     rank-identity to the SQL path is asserted in tests/)."""
     import hashlib
 
-    from light_splade_spark.index.build import build_index
+    from light_splade_spark.index.build import INDEX_FORMAT_VERSION, build_index
     from light_splade_spark.index.wand import wand_topk
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    idx = f"/tmp/lss_index_{tag}"
+    idx = f"/tmp/lss_index_v{INDEX_FORMAT_VERSION}_{tag}"
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         build_index(spark, _docs(spark, sf_dir), idx, n_shards=8, n_buckets=16,
                     n_salts=4, n_shard_groups=2)
-    return wand_topk(spark, idx, QUERIES, top_k=TOP_K, mode="bmw")
+    try:
+        return wand_topk(spark, idx, QUERIES, top_k=TOP_K, mode="bmw")
+    except Exception:
+        # stale/corrupt cached index (e.g. an older build interrupted):
+        # rebuild once from scratch
+        import shutil
+        shutil.rmtree(idx, ignore_errors=True)
+        build_index(spark, _docs(spark, sf_dir), idx, n_shards=8, n_buckets=16,
+                    n_salts=4, n_shard_groups=2)
+        return wand_topk(spark, idx, QUERIES, top_k=TOP_K, mode="bmw")
 
 
 def q_term_stats(spark, sf_dir):

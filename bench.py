@@ -97,6 +97,8 @@ def run_suite(master: str, shuffle_partitions: int = 32) -> dict:
         similarity.brute_force_topk(emb, list(range(10)), k=5)))
     q["ann_lsh"], _ = _timed(lambda: _noop(
         similarity.ann_lsh_topk(emb, list(range(10)), k=5, n_planes=6)))
+    q["ivf"], _ = _timed(lambda: _noop(
+        similarity.ivf_topk(emb, list(range(10)), k=5)))
     q["ranking_metrics"], _ = _timed(lambda: _noop(
         entry.q_ranking_metrics(spark, SF_DIR)))
 

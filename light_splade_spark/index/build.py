@@ -50,6 +50,10 @@ from light_splade_spark.index.manifest import IndexManifest, write_lineage
 from light_splade_spark.plans.bm25_sql import B, K1
 from light_splade_spark.plans.stats import with_dense_id
 
+# bump when the on-disk posting blob layout changes (callers may key cache
+# directories on it)
+INDEX_FORMAT_VERSION = 2
+
 RUN_SCHEMA = (
     "shard INT, bucket INT, term_id BIGINT, salt INT, first_doc BIGINT, "
     "last_doc BIGINT, n BIGINT, dtail BINARY, wblob BINARY, "
