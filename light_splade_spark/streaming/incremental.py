@@ -125,6 +125,35 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
     dt.unpersist()
 
 
+def stream_queries(spark: SparkSession, index_dir: str, stream: DataFrame,
+                   output_dir: str, checkpoint_dir: str, top_k: int = 10,
+                   threshold: float = 0.0, mode: str = "bmw"):
+    """Streaming query evaluation: a stream of (qid, text) rows is evaluated
+    against the index per micro-batch, results appended as parquet.
+    ``Trigger.AvailableNow`` + checkpoint → each query batch is answered
+    exactly once across restarts. The batch body is the same WAND plan as
+    the batch API — foreachBatch is the idiomatic bridge for a sink that
+    needs arbitrary DataFrame plans (joins against static postings)."""
+    from light_splade_spark.index.wand import wand_topk
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        qs = [(int(r["qid"]), r["text"]) for r in batch_df.collect()]
+        if not qs:
+            return
+        (wand_topk(spark, index_dir, qs, top_k=top_k, threshold=threshold,
+                   mode=mode)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(output_dir))
+
+    return (
+        stream.writeStream
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_append(spark: SparkSession, index_dir: str, stream: DataFrame,
                   checkpoint_dir: str, id_col: str = "doc_id",
                   text_col: str = "text"):

@@ -138,3 +138,25 @@ def test_stream_append_available_now(spark, docs, tmp_path_factory):
     again = eng.retrieve([(0, "qqqstream3")], top_k=5).collect()
     assert [r["doc_id"] for r in again] == [910003]
     assert abs(again[0]["score"] - got[0]["score"]) < 1e-9
+
+
+def test_stream_queries(spark, docs, tmp_path_factory):
+    from light_splade_spark.streaming.incremental import stream_queries
+    base = tmp_path_factory.mktemp("sq")
+    d = str(base / "idx")
+    eng = Engine.build(spark, docs, d, n_shards=2, n_buckets=4, n_salts=2,
+                       n_shard_groups=1, run_size=100)
+    src = base / "qin"
+    src.mkdir()
+    (src / "q.ndjson").write_text(
+        '{"qid": 1, "text": "spark join"}\n{"qid": 2, "text": "merge"}')
+    q = stream_queries(spark, d, spark.readStream
+                       .schema("qid BIGINT, text STRING").json(str(src)),
+                       str(base / "out"), str(base / "ckpt"), top_k=5)
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(base / "out"))
+    assert got.where("qid = 1").count() == 5
+    # identical to the batch API
+    batch = eng.retrieve([(1, "spark join")], top_k=5).collect()
+    stream_rows = (got.where("qid = 1").orderBy("rank").collect())
+    assert [r["doc_id"] for r in stream_rows] == [r["doc_id"] for r in batch]
