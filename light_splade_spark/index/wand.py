@@ -255,7 +255,14 @@ def wand_topk(
     target_doc_ids: list[int] | None = None,
 ) -> DataFrame:
     """-> DataFrame(qid, rank, doc_id, score) — rank-identical to the exact
-    SQL path (plans/bm25_sql.score_bm25) on the same corpus."""
+    SQL path (plans/bm25_sql.score_bm25) on the same corpus.
+
+    Sizing note: the query plan (qid -> [(term_id, qtf)]) is shipped inside
+    the kernel closure, so this path is for *interactive/batch* query sets up
+    to ~10^5 queries. For corpus-scale query workloads (mining millions of
+    queries against the index) use plans/bm25_sql.score_bm25 — the same
+    semantics expressed as a join, which shuffles instead of broadcasting
+    and scales with the cluster."""
     qplan, tids, buckets = build_query_plan(spark, index_dir, queries)
     target = (np.unique(np.asarray(target_doc_ids, dtype=np.int64))
               if target_doc_ids is not None else None)
