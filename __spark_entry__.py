@@ -341,6 +341,32 @@ def q_events_agg(spark, sf_dir):
                  F.round(F.avg("value"), 4).alias("avg_value")))
 
 
+def q_events_tumbling(spark, sf_dir):
+    """Event-time tumbling-window aggregation (1 hour, UTC)."""
+    e = _tbl(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (e.groupBy(
+                F.date_format(w.start, "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+                "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def q_pipeline_attrition(spark, sf_dir):
+    """Cleaning-pipeline attrition report: input -> quality-pass ->
+    exact-dedup survivors, as one auditable row."""
+    from light_splade_spark.functions.text_quality import quality_score
+    from light_splade_spark.operators.dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    q = quality_score(docs).where("keep").select("doc_id")
+    kept = docs.join(q, docs.doc_id == q.doc_id, "left_semi")
+    deduped = exact_dedup(kept)
+    return (docs.agg(F.count(F.lit(1)).alias("n_input"))
+            .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_quality")))
+            .crossJoin(deduped.agg(F.count(F.lit(1)).alias("n_distinct"))))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
@@ -371,6 +397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nations_cust_not_supp": q_nations_cust_not_supp,
         "orders_per_cust_csv": q_orders_per_cust_csv,
         "events_agg": q_events_agg,
+        "events_tumbling": q_events_tumbling,
+        "pipeline_attrition": q_pipeline_attrition,
         "events_json": q_events_json,
         "char_budget": q_char_budget,
         "dup_components": q_dup_components,
@@ -771,6 +799,28 @@ FROM orders WHERE o_custkey < 20 GROUP BY o_custkey
 SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
        round(avg(value), 4) AS avg_value
 FROM events GROUP BY event_type
+"""
+
+    o["events_tumbling"] = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+         AS win_start,
+       event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    sw_lit = ", ".join(f"'{w}'" for w in STOPWORDS)
+    o["pipeline_attrition"] = f"""
+WITH toks AS (SELECT doc_id, text, {_TOK} AS t FROM documents),
+q AS (
+  SELECT doc_id, text FROM toks
+  WHERE len(t) >= 10
+    AND round(len(list_distinct(t)) * 1.0 / len(t), 4) >= 0.1
+    AND round(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 4)
+        BETWEEN 2 AND 12)
+SELECT (SELECT count(*) FROM documents) AS n_input,
+       (SELECT count(*) FROM q) AS n_quality,
+       (SELECT count(*) FROM (SELECT min(doc_id) FROM q GROUP BY md5(text)))
+         AS n_distinct
 """
 
     o["events_json"] = """
