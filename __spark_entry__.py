@@ -74,8 +74,12 @@ def q_dot_topk(spark, sf_dir):
 
 
 def q_wand_topk(spark, sf_dir):
-    """Block-max WAND over the sharded VByte index (rows-only check here;
-    rank-identity to the SQL path is asserted in tests/)."""
+    """Block-max WAND over the sharded VByte index. Hash-checked against the
+    float32-impact DuckDB oracle (bm25_oracle_sql(float32_impacts=True)):
+    the index stores float32 impacts, so the oracle rounds the per-(term,doc)
+    weight through FLOAT before the double-precision sum — bit-matching what
+    the kernel scores. Rank-identity to the all-double SQL path is separately
+    asserted in tests/test_scoring_parity.py."""
     import hashlib
 
     from light_splade_spark.index.build import INDEX_FORMAT_VERSION, build_index
@@ -88,9 +92,10 @@ def q_wand_topk(spark, sf_dir):
                     n_salts=4, n_shard_groups=2)
     try:
         return wand_topk(spark, idx, QUERIES, top_k=TOP_K, mode="bmw")
-    except Exception:
-        # stale/corrupt cached index (e.g. an older build interrupted):
-        # rebuild once from scratch
+    except (OSError, ValueError, TypeError, KeyError):
+        # corrupt-cache cases only (missing/partial manifest or files,
+        # analyzer-version mismatch, stale manifest schema): rebuild once.
+        # Genuine kernel bugs raise other types and surface loudly.
         import shutil
         shutil.rmtree(idx, ignore_errors=True)
         build_index(spark, _docs(spark, sf_dir), idx, n_shards=8, n_buckets=16,
@@ -307,10 +312,12 @@ def q_doc_topterms(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     dt = doc_terms(docs)
-    row = (dt.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-           .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
-           .collect()[0])
-    n, avgdl = int(row["n"]), float(row["avgdl"])
+    # N/avgdl over ALL docs (zero-token docs count with dl=0), matching
+    # build_dims and bm25_topk_docs; Σdl / N is an exact cross-engine double
+    n = docs.count()
+    sum_dl = (dt.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+              .agg(F.sum("dl").alias("s")).collect()[0]["s"]) or 0
+    avgdl = int(sum_dl) / n
     dfd = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = (F.log(1.0 + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
          * (F.col("tf") * (K1 + 1.0))
@@ -432,6 +439,10 @@ def oracle_sql() -> dict[str, str]:
 
     o: dict[str, str] = {}
     o["bm25_topk"] = bm25_sql.bm25_oracle_sql(QUERIES, top_k=TOP_K)
+    # the flagship WAND path: identical ranking semantics, but impacts are
+    # float32 (as stored in the index) — the oracle mirrors that cast
+    o["wand_topk"] = bm25_sql.bm25_oracle_sql(QUERIES, top_k=TOP_K,
+                                              float32_impacts=True)
 
     o["dot_topk"] = f"""
 WITH {_TOK_CTE},
@@ -856,7 +867,9 @@ HAVING round(max(s.wp), 4) > 0
 WITH {_TOK_CTE},
 dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT CAST(coalesce(sum(dl), 0) AS DOUBLE) FROM dl)
+                   / (SELECT count(*) FROM documents) AS avgdl),
 tdf AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
 scored AS (
   SELECT dt.doc_id, dt.term,

@@ -21,6 +21,8 @@ manifest so an index and a query engine can refuse to mix versions.
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass, field
+from typing import Callable
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -29,7 +31,8 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 # Pinned analyzer contract. Bump on ANY change to tokenization/extraction —
-# the index manifest stores it and query-time checks enforce equality.
+# the index manifest stores it and query-time resolution maps the stored
+# version back to the matching analyzer (unknown versions are refused).
 ANALYZER_VERSION = "ls-spark-1"
 
 # Token = maximal run of [a-z0-9] after lowercasing. Chosen because it is

@@ -105,6 +105,11 @@ def vbyte_encode_sized(values: np.ndarray) -> tuple[bytes, np.ndarray]:
 
 
 def _write_varint_scalar(x: int) -> bytes:
+    if x < 0:
+        # Python's arithmetic right shift never zeroes a negative int, so a
+        # negative value would loop forever; callers must validate doc ids
+        # (and therefore deltas) are non-negative before encoding.
+        raise ValueError(f"varint value must be non-negative, got {x}")
     out = bytearray()
     while True:
         b = x & 0x7F
@@ -116,14 +121,25 @@ def _write_varint_scalar(x: int) -> bytes:
 
 
 def encode_run(doc_ids: np.ndarray, weights: np.ndarray, base: int = -1) -> bytes:
-    """Encode one doc-id-ascending posting run."""
+    """Encode one doc-id-ascending posting run.
+
+    doc_ids must be non-negative and strictly ascending, and all > ``base`` —
+    otherwise a delta would go negative and silently corrupt via the uint64
+    cast, so this raises instead."""
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     weights = np.asarray(weights, dtype=np.float32)
     n = doc_ids.size
     deltas = np.empty(n, dtype=np.uint64)
     if n:
+        if int(doc_ids[0]) < 0 or int(doc_ids[0]) < base:
+            raise ValueError(
+                f"doc ids must be non-negative and >= base={base}; "
+                f"got first id {int(doc_ids[0])}")
+        d = np.diff(doc_ids)
+        if d.size and int(d.min()) <= 0:
+            raise ValueError("doc ids must be strictly ascending")
         deltas[0] = np.uint64(doc_ids[0] - base)
-        deltas[1:] = np.diff(doc_ids).astype(np.uint64)
+        deltas[1:] = d.astype(np.uint64)
     return _write_varint_scalar(n) + vbyte_encode(deltas) + weights.tobytes()
 
 
@@ -142,14 +158,20 @@ def decode_run(buf: bytes, base: int = -1,
     return doc_ids, weights
 
 
-def concat_runs(runs: list[bytes], bases_first_docs: list[tuple[int, int]]) -> bytes:
+def concat_runs(runs: list[bytes], bases_first_docs: list[tuple[int, int]],
+                weight_bits: int = 32) -> bytes:
     """Phase-2 external merge: concatenate doc-range-disjoint sorted runs.
 
     ``bases_first_docs[i] = (first_doc_i, last_doc_i)``; runs must be ordered
     and non-overlapping (guaranteed by doc-id-range salting). Only the first
     delta of each subsequent run needs patching, so the merge cost is O(runs),
     not O(postings) — the point of the two-phase build.
+
+    ``weight_bits`` must match the encoding of the runs (32 = float32 weights,
+    8 = block-quantized uint8 codes); the production phase-2 merge is the
+    inlined variant in index/build._merge_groups, which handles both.
     """
+    wwidth = {32: 4, 8: 1}[weight_bits]
     if len(runs) == 1:
         return runs[0]
     out = bytearray()
@@ -167,7 +189,7 @@ def concat_runs(runs: list[bytes], bases_first_docs: list[tuple[int, int]]) -> b
         payload += _write_varint_scalar(first - prev_last)
         payload += run[off2: off2 + _rest_delta_bytes(arr, off2, n - 1)]
         woff = _weights_offset(arr, off, n)
-        weights += run[woff: woff + 4 * n]
+        weights += run[woff: woff + wwidth * n]
         prev_last = last
     out += _write_varint_scalar(total_n)
     out += payload

@@ -74,7 +74,8 @@ def _block_meta(docs: np.ndarray, ws: np.ndarray, starts: np.ndarray,
     nb = (lens + block_size - 1) // block_size
     total = int(nb.sum())
     if total == 0:
-        return nb, np.empty(0, np.int64), np.empty(0, np.float32)
+        return (nb, np.empty(0, np.int64), np.empty(0, np.float32),
+                np.empty(0, np.int64), np.empty(0, np.int64))
     seg_of_block = np.repeat(np.arange(starts.size), nb)
     first_block = np.concatenate(([0], np.cumsum(nb)[:-1]))
     within = (np.arange(total) - first_block[seg_of_block]) * block_size
@@ -104,6 +105,13 @@ def _encode_groups(pdf: pd.DataFrame, block_size: int,
     order = np.lexsort((pdf["doc_id"].to_numpy(), pdf["term_id"].to_numpy()))
     tids = pdf["term_id"].to_numpy()[order]
     docs = pdf["doc_id"].to_numpy()[order]
+    if docs.size and int(docs.min()) < 0:
+        # negative ids would produce negative deltas that corrupt silently
+        # through the uint64 cast; fail the build early and loudly instead
+        raise ValueError(
+            f"doc ids must be non-negative for delta+VByte encoding; "
+            f"got min doc_id {int(docs.min())} (remap ids, e.g. "
+            f"pmod(xxhash64(id), 2^62), before build_index)")
     ws = pdf["w"].to_numpy(dtype=np.float32)[order]
     m = tids.size
     bounds = np.flatnonzero(np.diff(tids)) + 1

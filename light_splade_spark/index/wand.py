@@ -55,6 +55,7 @@ def _score_shard(
     mode: str,
     target_docs: np.ndarray | None = None,
     weight_bits: int = 32,
+    block_size: int = 128,
 ) -> pd.DataFrame:
     """Exact per-shard top-k for every query. pdf: posting rows of ONE shard
     restricted to query terms. ``target_docs`` (sorted int64) restricts
@@ -79,7 +80,7 @@ def _score_shard(
             if docs.size == 0:
                 continue
             # block meta no longer matches the filtered list; rebuild
-            bs = 128
+            bs = block_size
             bstart = np.arange(0, docs.size, bs)
             bm_max = np.maximum.reduceat(ws, bstart).astype(np.float32)
             bm_last = docs[np.minimum(bstart + bs - 1, docs.size - 1)]
@@ -100,7 +101,7 @@ def _score_shard(
         ws = np.concatenate([r[1] for r in rows])
         order = np.argsort(docs, kind="mergesort")
         docs, ws = docs[order], ws[order]
-        bs = 128
+        bs = block_size
         bstart = np.arange(0, docs.size, bs)
         bm_max = np.maximum.reduceat(ws, bstart).astype(np.float32)
         bm_last = docs[np.minimum(bstart + bs - 1, docs.size - 1)]
@@ -120,9 +121,16 @@ def _score_shard(
         docs, scores = docs[keep], scores[keep]
         k = top_k if top_k and top_k > 0 else docs.size
         if docs.size > k:
-            # partial select on (-score, doc_id): top-k by score desc, id asc
-            idx = np.lexsort((docs, -scores))[:k]
-            docs, scores = docs[idx], scores[idx]
+            # per-shard cut must agree with the GLOBAL order, which ranks on
+            # round(score, SCORE_DECIMALS) with doc_id tie-break. Cutting on
+            # raw scores could drop a lower-doc_id doc whose raw score is a
+            # hair below a same-rounded higher-id doc. So: keep every doc
+            # whose ROUNDED score ties or beats the k-th largest rounded
+            # score (ties kept; the global window resolves them by doc_id).
+            r = np.round(scores, SCORE_DECIMALS)
+            kth = np.partition(r, r.size - k)[r.size - k]
+            keep2 = r >= kth
+            docs, scores = docs[keep2], scores[keep2]
         out_q.extend([qid] * docs.size)
         out_d.extend(docs.tolist())
         out_s.extend(scores.tolist())
@@ -277,6 +285,7 @@ def wand_topk(
     kernel = functools.partial(
         _score_shard, qplan=qplan, top_k=top_k, threshold=threshold, mode=mode,
         target_docs=target, weight_bits=man.weight_bits,
+        block_size=man.block_size,
     )
     shard_hits = posts.groupBy("shard").applyInPandas(
         kernel, "qid BIGINT, doc_id BIGINT, score DOUBLE"

@@ -84,17 +84,27 @@ def bm25_topk_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """End-to-end: corpus DataFrame + literal query batch -> top-k ranking."""
+    """End-to-end: corpus DataFrame + literal query batch -> top-k ranking.
+
+    N and avgdl count ALL docs (zero-token docs contribute dl=0), matching
+    index/build.build_dims and the numpy oracle — so this path, the WAND
+    index path, and every oracle agree on corpus stats even when the corpus
+    contains empty or symbol-only documents. avgdl = Σdl / N is an exact
+    integer ratio, bit-identical across engines.
+    """
     spark = docs.sparkSession
     postings = doc_terms(docs, id_col, text_col).cache()
-    row = (
+    n_total = docs.count()
+    if n_total == 0:
+        raise ValueError("cannot score an empty corpus")
+    sum_dl = (
         postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    )
+        .agg(F.sum("dl").alias("s")).collect()[0]["s"]
+    ) or 0
+    avgdl = int(sum_dl) / n_total
     qt_rows = query_term_rows(queries)
     qterms = spark.createDataFrame(qt_rows, "qid BIGINT, term STRING, qtf BIGINT")
-    return score_bm25(postings, qterms, int(row["n"]), float(row["avgdl"]),
-                      top_k, threshold)
+    return score_bm25(postings, qterms, n_total, avgdl, top_k, threshold)
 
 
 def query_term_rows(queries: list[tuple[int, str]]) -> list[tuple[int, str, int]]:
@@ -125,13 +135,34 @@ def tokens_sql(col: str) -> str:
 
 def bm25_oracle_sql(queries: list[tuple[int, str]], top_k: int = 10,
                     threshold: float = 0.0, table: str = "documents",
-                    id_col: str = "doc_id", text_col: str = "text") -> str:
-    """ANSI/DuckDB SQL computing the identical (qid, rank, doc_id, score)."""
+                    id_col: str = "doc_id", text_col: str = "text",
+                    float32_impacts: bool = False) -> str:
+    """ANSI/DuckDB SQL computing the identical (qid, rank, doc_id, score).
+
+    N and avgdl count ALL docs (avgdl = Σdl / N, an exact integer ratio),
+    matching bm25_topk_docs and index/build.build_dims.
+
+    ``float32_impacts=True`` mirrors the WAND index path instead of the
+    all-double SQL path: the per-(term, doc) impact w = idf * saturation is
+    rounded through FLOAT (the index stores float32 impacts,
+    reference sparse_indexer.py:47), then the score is Σ qtf * w in DOUBLE —
+    exactly what index/wand._score_shard computes, making the flagship WAND
+    operator hash-comparable against DuckDB.
+    """
     qt = query_term_rows(queries)
     values = ", ".join(
         f"({qid}, '{term}', {qtf})" for qid, term, qtf in qt
     )
     limit_pred = f"WHERE rank <= {top_k}" if top_k and top_k > 0 else ""
+    impact = (f"ln(1.0 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))\n"
+              f"           * (dt.tf * ({K1} + 1.0))\n"
+              f"             / (dt.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))")
+    if float32_impacts:
+        # parenthesization matches index/build.py's impact expression:
+        # (idf * (tf*(k1+1))) / denom, computed in double then cast to float32
+        contrib = f"qt.qtf * CAST(CAST({impact} AS FLOAT) AS DOUBLE)"
+    else:
+        contrib = f"qt.qtf\n           * {impact}"
     return f"""
 WITH tok AS (
   SELECT {id_col} AS doc_id, unnest({tokens_sql(text_col)}) AS term
@@ -139,16 +170,15 @@ WITH tok AS (
 ),
 dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+stats AS (SELECT (SELECT count(*) FROM {table}) AS n,
+                 (SELECT CAST(coalesce(sum(dl), 0) AS DOUBLE) FROM dl)
+                   / (SELECT count(*) FROM {table}) AS avgdl),
 tdf AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
 qt(qid, term, qtf) AS (VALUES {values}),
 scored AS (
   SELECT qt.qid, dt.doc_id,
          round(sum(
-           qt.qtf
-           * ln(1.0 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
-           * (dt.tf * ({K1} + 1.0))
-             / (dt.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+           {contrib}
          ), {SCORE_DECIMALS}) AS score
   FROM qt
   JOIN dt  ON qt.term = dt.term
