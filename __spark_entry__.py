@@ -173,7 +173,17 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_cosine_neardup(spark, sf_dir):
-    return similarity.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    """Exact quadratic baseline (explicitly opted-in; bounded sf corpus)."""
+    return similarity.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.4,
+                                           exact=True)
+
+
+def q_cosine_neardup_lsh(spark, sf_dir):
+    """Bucketed (sign-LSH, multi-probe) near-dup pairs — the scale path;
+    plan is a pure equi-join, no BroadcastNestedLoopJoin (asserted in
+    tests/test_similarity_scale.py)."""
+    return similarity.cosine_neardup_pairs_lsh(
+        _emb(spark, sf_dir), threshold=0.4, n_planes=6)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -182,8 +192,14 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
+    """IVF at a realistic nlist (64): Arrow-batched GEMM assignment against
+    a closure-broadcast centroid matrix; 'head' centroid selection so DuckDB
+    can mirror the quantizer row-for-row. The k-means quantizer path is
+    pytest-verified (tests/test_similarity_scale.py) — SQL cannot replay
+    Lloyd iterations bit-exactly."""
     return similarity.ivf_topk(_emb(spark, sf_dir), query_ids=list(range(10)),
-                               k=5, n_centroids=8, n_probe=2)
+                               k=5, n_centroids=64, n_probe=2,
+                               centroids="head")
 
 
 def q_lang_id(spark, sf_dir):
@@ -289,6 +305,25 @@ def q_char_budget(spark, sf_dir):
     )
 
 
+def q_cjk_tokens(spark, sf_dir):
+    """CJK analyzer v2 (F3, reference models/splade.py:237-245 — the
+    Japanese-first tokenize path): documents text is deterministically
+    Japanese-ified via translate(), then tokenized with the v2 analyzer
+    (ASCII words + CJK character bigrams). The full token multiset is
+    hash-compared per doc against the DuckDB mirror."""
+    from light_splade_spark.functions.analyzers import ANALYZER_V2_CJK
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    jp = F.translate(F.col("text"), "aeiouskt", "アイウエオサカタ")
+    toks = ANALYZER_V2_CJK.spark_tokens(jp)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.md5(F.array_join(F.array_sort(toks), "|")).alias("tok_md5"),
+    )
+
+
 def q_dup_components(spark, sf_dir):
     """Connected components over the verified near-dup pair graph —
     iterative min-label propagation, oracle = DuckDB recursive CTE."""
@@ -391,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dupes": q_simhash_dupes,
         "cosine_topk": q_cosine_topk,
         "cosine_neardup": q_cosine_neardup,
+        "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "lang_id": q_lang_id,
@@ -408,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_attrition": q_pipeline_attrition,
         "events_json": q_events_json,
         "char_budget": q_char_budget,
+        "cjk_tokens": q_cjk_tokens,
         "dup_components": q_dup_components,
         "splade_expansion": q_splade_expansion,
         "doc_topterms": q_doc_topterms,
@@ -612,6 +649,26 @@ WHERE round(list_dot_product(a.v, b.v)
     bucket_expr = " + ".join(
         f"(CASE WHEN list_dot_product(v, p[{i + 1}]) >= 0 THEN {1 << i} ELSE 0 END)"
         for i in range(6))
+
+    probe_list = "[bucket, " + ", ".join(
+        f"xor(bucket, {1 << i})" for i in range(6)) + "]"
+    o["cosine_neardup_lsh"] = f"""
+WITH planes AS (SELECT [{plane_lits}] AS p),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {bucket_expr} AS bucket
+  FROM embeddings, planes),
+probes AS (SELECT vec_id, v, unnest({probe_list}) AS probe FROM e)
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM probes a JOIN e b ON a.probe = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4
+"""
+
     o["ann_lsh_topk"] = f"""
 WITH planes AS (SELECT [{plane_lits}] AS p),
 e AS (
@@ -636,7 +693,7 @@ SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5
                " * sqrt(list_dot_product({b}, {b})))")
     o["ivf_topk"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id AS ci, v AS cv FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id AS ci, v AS cv FROM e WHERE vec_id < 64),
 ranked_c AS (
   SELECT e.vec_id, c.ci,
          row_number() OVER (
@@ -840,6 +897,18 @@ SELECT event_type,
        round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
        count(*) AS n
 FROM events GROUP BY event_type
+"""
+
+    from light_splade_spark.functions.analyzers import tokens_sql_v2
+    o["cjk_tokens"] = f"""
+WITH d AS (
+  SELECT doc_id, translate(text, 'aeiouskt', 'アイウエオサカタ') AS jp
+  FROM documents WHERE doc_id < 200),
+t AS (SELECT doc_id, {tokens_sql_v2('jp')} AS toks FROM d)
+SELECT doc_id, len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       md5(array_to_string(list_sort(toks), '|')) AS tok_md5
+FROM t
 """
 
     o["char_budget"] = """

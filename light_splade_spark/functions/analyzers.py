@@ -64,6 +64,115 @@ def tokens_col(text: Column | str, max_chars: int | None = None) -> Column:
     return F.filter(arr, lambda x: x != F.lit(""))
 
 
+# ---------------------------------------------------------------------------
+# Pluggable analyzers. The reference is a Japanese-first system (HF subword
+# tokenizer, ``models/splade.py:237-245``, ``data/base.py:67-76``; Japanese
+# toy data ``data/toy_triplet/``). A deterministic cross-engine analyzer
+# cannot ship a learned subword vocab, so v2 uses the classic CJK strategy
+# (Lucene CJKAnalyzer-style character bigrams) for non-ASCII runs while
+# keeping [a-z0-9]+ words for ASCII — expressible identically in Spark SQL,
+# DuckDB SQL, and Python, so every oracle survives.
+#
+# Contract: the three representations of one Analyzer MUST tokenize any text
+# to the same multiset (asserted in tests/test_cjk_analyzer.py). Never edit
+# an existing version — add a new one and bump the version string; the index
+# manifest pins the version and query-time resolution refuses unknowns.
+# ---------------------------------------------------------------------------
+
+# Hiragana, katakana, CJK ext-A, CJK unified — the ranges the reference's
+# Japanese corpora exercise. Expressed with explicit code points so Java
+# regex, Python re, and DuckDB (RE2) all see the same class.
+CJK_RANGE = "぀-ヿ㐀-䶿一-鿿"
+_PY_CJK_RUN_RE = re.compile(f"[{CJK_RANGE}]+")
+
+
+def py_tokenize_v2(text: str) -> list[str]:
+    """Python mirror of the v2 analyzer: ASCII [a-z0-9]+ words, then
+    character bigrams per contiguous CJK run (single-char runs kept whole)."""
+    low = text.lower()
+    toks = _PY_TOKEN_RE.findall(low)
+    for run in _PY_CJK_RUN_RE.findall(low):
+        if len(run) < 2:
+            toks.append(run)
+        else:
+            toks.extend(run[i:i + 2] for i in range(len(run) - 1))
+    return toks
+
+
+def tokens_col_v2(text: Column | str, max_chars: int | None = None) -> Column:
+    """v2 token array, fully JVM-side: regexp_extract_all for both classes,
+    CJK runs expanded to bigrams with transform/sequence/substring — all
+    inside whole-stage codegen, no Python."""
+    c = F.col(text) if isinstance(text, str) else text
+    if max_chars is not None:
+        c = F.substring(c, 1, max_chars)
+    low = F.lower(c)
+    ascii_toks = F.regexp_extract_all(low, F.lit("[a-z0-9]+"), F.lit(0))
+    runs = F.regexp_extract_all(low, F.lit(f"[{CJK_RANGE}]+"), F.lit(0))
+    grams = F.flatten(F.transform(
+        runs,
+        lambda r: F.when(F.length(r) < 2, F.array(r)).otherwise(
+            F.transform(F.sequence(F.lit(1), F.length(r) - 1),
+                        lambda i: F.substring(r, i, F.lit(2)))),
+    ))
+    return F.concat(ascii_toks, grams)
+
+
+def tokens_sql_v1(col: str) -> str:
+    """DuckDB expression equal to tokens_col (v1)."""
+    return (f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), "
+            f"x -> x <> '')")
+
+
+def tokens_sql_v2(col: str) -> str:
+    """DuckDB expression equal to tokens_col_v2."""
+    return (
+        f"list_concat("
+        f"regexp_extract_all(lower({col}), '[a-z0-9]+'), "
+        f"flatten(list_transform("
+        f"regexp_extract_all(lower({col}), '[{CJK_RANGE}]+'), "
+        f"r -> CASE WHEN length(r) < 2 THEN [r] "
+        f"ELSE list_transform(range(1, length(r)), i -> substr(r, i, 2)) "
+        f"END)))"
+    )
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """One deterministic tokenizer in its three required representations.
+
+    ``spark_tokens(col, max_chars)`` -> ARRAY<STRING> Column (JVM-side);
+    ``py_tokenize(text)`` -> list[str] (driver/query/oracle side);
+    ``duckdb_tokens(col_sql)`` -> DuckDB list expression (correctness oracle).
+    """
+    version: str
+    spark_tokens: Callable[..., Column] = field(repr=False, default=None)
+    py_tokenize: Callable[[str], list[str]] = field(repr=False, default=None)
+    duckdb_tokens: Callable[[str], str] = field(repr=False, default=None)
+
+
+ANALYZER_V1 = Analyzer("ls-spark-1", tokens_col, py_tokenize, tokens_sql_v1)
+ANALYZER_V2_CJK = Analyzer("ls-spark-2", tokens_col_v2, py_tokenize_v2,
+                           tokens_sql_v2)
+
+ANALYZERS: dict[str, Analyzer] = {
+    a.version: a for a in (ANALYZER_V1, ANALYZER_V2_CJK)
+}
+
+
+def get_analyzer(version: str) -> Analyzer:
+    """Resolve a manifest-pinned analyzer version; refuse unknowns so an
+    index and a query engine can never silently mix tokenizations."""
+    try:
+        return ANALYZERS[version]
+    except KeyError:
+        raise ValueError(
+            f"index pinned to unknown analyzer version {version!r}; this "
+            f"engine knows {sorted(ANALYZERS)} — upgrade the engine or "
+            "rebuild the index (tokenization must be identical on both "
+            "sides)") from None
+
+
 @pandas_udf(StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
     """Byte-identical text extraction from raw page bytes (Arrow-vectorized).
@@ -84,9 +193,10 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 
 
 def doc_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-               max_chars: int | None = None) -> DataFrame:
+               max_chars: int | None = None,
+               analyzer: Analyzer = ANALYZER_V1) -> DataFrame:
     """(doc_id, tokens ARRAY<STRING>, dl INT) — one row per doc."""
-    toks = tokens_col(text_col, max_chars)
+    toks = analyzer.spark_tokens(text_col, max_chars)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("tokens"),
@@ -94,7 +204,8 @@ def doc_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def doc_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-              max_chars: int | None = None) -> DataFrame:
+              max_chars: int | None = None,
+              analyzer: Analyzer = ANALYZER_V1) -> DataFrame:
     """Term-frequency expansion: (doc_id, term, tf, dl).
 
     The BM25 analog of the reference's token-position aggregation
@@ -103,7 +214,7 @@ def doc_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     the term-weight source for BM25). Partial (map-side) aggregation is
     automatic via Catalyst hash aggregate.
     """
-    dt = doc_tokens(docs, id_col, text_col, max_chars)
+    dt = doc_tokens(docs, id_col, text_col, max_chars, analyzer)
     return (
         dt.select("doc_id", "dl", F.explode("tokens").alias("term"))
         .groupBy("doc_id", "dl", "term")

@@ -41,7 +41,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from light_splade_spark.functions.analyzers import ANALYZER_VERSION, doc_terms
+from light_splade_spark.functions.analyzers import (
+    ANALYZER_V1,
+    Analyzer,
+    doc_terms,
+    get_analyzer,
+)
 from light_splade_spark.functions.vbyte import (
     _write_varint_scalar,
     vbyte_encode_sized,
@@ -233,7 +238,8 @@ def _merge_groups(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def build_dims(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-               doc_stats_path: str | None = None, term_id_mode: str = "hash"):
+               doc_stats_path: str | None = None, term_id_mode: str = "hash",
+               analyzer: Analyzer = ANALYZER_V1):
     """-> (doc_terms_df, terms_df, scalars dict).
 
     Scalars (N, avgdl, max_doc) piggyback on the doc_stats parquet write via
@@ -255,8 +261,9 @@ def build_dims(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # one extra tokenize pass; on a network-shuffle cluster at PB scale that
     # trade wins, on this single-node sandbox the extra scan loses (~+25%
     # wall), so the two-pass shape ships as default.
-    dt = doc_terms(docs, id_col, text_col).cache()
-    doc_stats = doc_tokens(docs, id_col, text_col).select("doc_id", "dl")
+    dt = doc_terms(docs, id_col, text_col, analyzer=analyzer).cache()
+    doc_stats = (doc_tokens(docs, id_col, text_col, analyzer=analyzer)
+                 .select("doc_id", "dl"))
     obs = Observation("corpus_scalars")
     doc_stats = doc_stats.observe(
         obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
@@ -302,20 +309,29 @@ def build_index(
     run_size: int = 1 << 16,
     weight_bits: int = 32,
     resume: bool = False,
+    analyzer: Analyzer = ANALYZER_V1,
     fail_after_group: int | None = None,  # test hook: simulate a crash
 ) -> IndexManifest:
-    """Build (or resume) the inverted index at ``index_dir``."""
+    """Build (or resume) the inverted index at ``index_dir``.
+
+    ``analyzer`` picks the tokenizer (default ASCII v1; ANALYZER_V2_CJK for
+    Japanese/CJK corpora, matching the reference's Japanese-first data). Its
+    version is pinned in the manifest; a resumed build re-resolves the
+    analyzer from the manifest so a resume can never mix tokenizations.
+    """
     os.makedirs(index_dir, exist_ok=True)
     if resume and os.path.exists(os.path.join(index_dir, "manifest.json")):
         man = IndexManifest.load(index_dir)
         if man.status == "complete":
             return man
+        analyzer = get_analyzer(man.analyzer_version)
     else:
         man = None
 
     dt, terms, scalars = build_dims(
         docs, id_col, text_col,
         doc_stats_path=os.path.join(index_dir, "doc_stats") if man is None else None,
+        analyzer=analyzer,
     )
     if man is None:
         if n_shards is None:
@@ -323,7 +339,7 @@ def build_index(
             # (constant per-shard memory), capped to keep tiny corpora sane
             n_shards = max(4, min(scalars["n_docs"] // 25000, 4096))
         man = IndexManifest(
-            analyzer_version=ANALYZER_VERSION, k1=K1, b=B,
+            analyzer_version=analyzer.version, k1=K1, b=B,
             n_docs=scalars["n_docs"], avgdl=scalars["avgdl"],
             n_shards=n_shards, n_buckets=n_buckets, run_size=run_size,
             block_size=block_size, n_shard_groups=n_shard_groups,
@@ -402,7 +418,7 @@ def build_index(
         ]
         for r in lineage:
             r["wall_sec"] = round(time.time() - t0, 3)
-            r["analyzer_version"] = ANALYZER_VERSION
+            r["analyzer_version"] = analyzer.version
         write_lineage(index_dir, group, lineage)
         man.completed_groups.append(group)
         man.save(index_dir)

@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from light_splade_spark.functions.analyzers import ANALYZER_VERSION, py_tokenize
+from light_splade_spark.functions.analyzers import get_analyzer
 from light_splade_spark.functions.vbyte import decode_run
 from light_splade_spark.index.build import read_postings, read_terms
 from light_splade_spark.index.manifest import IndexManifest
@@ -223,12 +223,11 @@ def build_query_plan(
     import os as _os
 
     man = IndexManifest.load(index_dir)
-    if man.analyzer_version != ANALYZER_VERSION:
-        raise ValueError(
-            f"index built with analyzer {man.analyzer_version!r} but this "
-            f"engine runs {ANALYZER_VERSION!r}; rebuild or pin the analyzer "
-            "(tokenization must be identical on both sides)")
-    vocab_needed = sorted({t for _, text in queries for t in py_tokenize(text)})
+    # resolve the analyzer the index was built with (raises on unknown
+    # versions — tokenization must be identical on both sides)
+    ana = get_analyzer(man.analyzer_version)
+    vocab_needed = sorted({t for _, text in queries
+                           for t in ana.py_tokenize(text)})
     key = (index_dir, _os.path.getmtime(_os.path.join(index_dir, "terms")))
     cached = _TERMS_CACHE.setdefault(key, {})
     missing = [t for t in vocab_needed if t not in cached]
@@ -244,7 +243,7 @@ def build_query_plan(
     tmap = {t: cached[t] for t in vocab_needed if cached[t] is not None}
     qplan: dict[int, list[tuple[int, int]]] = {}
     for qid, text in queries:
-        counts = Counter(py_tokenize(text))
+        counts = Counter(ana.py_tokenize(text))
         lst = [(tmap[t], c) for t, c in sorted(counts.items()) if t in tmap]
         if lst:
             qplan[qid] = lst

@@ -90,18 +90,20 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = MINHASH_K,
                       band_size: int = LSH_BAND_SIZE,
                       shingle_n: int = SHINGLE_N,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = 1000) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) sharing >=1 LSH band.
 
     Bands of `band_size` consecutive signature slots are concatenated and
     md5'd; docs are grouped per band value (the LSH bucket join) — never a
     cross join. Dedup across bands via DISTINCT on the pair.
 
-    ``max_bucket_size``: at web scale a boilerplate mega-cluster (one band
-    value shared by millions of pages) makes the bucket self-join quadratic.
-    Buckets above the cap are excluded here (count via window, one pass) —
-    the standard move: route oversized buckets to exact-hash grouping
-    (`exact_duplicates`) or to clustering on the keeper instead.
+    ``max_bucket_size`` (default 1000 — safe-by-default): at web scale a
+    boilerplate mega-cluster (one band value shared by millions of pages)
+    makes the bucket self-join quadratic, so buckets above the cap are
+    excluded here (count via window, one pass) — the standard move: route
+    oversized buckets to exact-hash grouping (`exact_duplicates`) or to
+    clustering on the keeper instead. Pass ``None`` to explicitly opt out
+    (exact candidate recall on bounded corpora).
     """
     sig = minhash_signature(docs, id_col, text_col, k, shingle_n)
     n_bands = k // band_size
@@ -135,16 +137,40 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = SHINGLE_N,
                         threshold: float = 0.5,
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        max_shingle_df: int | None = 1000) -> DataFrame:
     """(doc_a, doc_b, jaccard) over n-gram shingle sets, jaccard >= threshold.
 
     Intersection sizes come from a self-equi-join on the shingle value —
-    shuffle on shingle, never a cross join. Pass ``candidates`` (doc_a, doc_b)
-    to restrict to an LSH prefilter at scale."""
+    shuffle on shingle, never a cross join. Two scale guards keep a hot
+    shingle from turning that join quadratic:
+
+    * ``candidates`` (doc_a, doc_b — e.g. minhash_lsh_pairs output) is
+      applied BEFORE the join: only docs that appear in some candidate pair
+      ship their shingles into the self-join, and the pair-level semi-join
+      afterwards restricts to the exact candidate set. The join cost is then
+      bounded by the candidate docs, not the corpus.
+    * ``max_shingle_df`` (default 1000): a boilerplate shingle present in
+      ~every doc contributes df² join rows while carrying ~zero signal.
+      Shingles above the cap are dropped from BOTH intersection and sizes
+      (one extra map-side-combined groupBy), i.e. jaccard over informative
+      shingles — the standard stop-shingle move. Pass ``None`` for the exact
+      all-shingles measure on bounded corpora.
+    """
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(text_col, n)).alias("sh"),
     )
+    if candidates is not None:
+        cand_docs = (candidates.select(F.col("doc_a").alias("doc_id"))
+                     .unionByName(candidates.select(F.col("doc_b")
+                                                    .alias("doc_id")))
+                     .distinct())
+        sh = sh.join(cand_docs, "doc_id", "left_semi")
+    if max_shingle_df is not None:
+        sh_df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+        keep_sh = sh_df.where(F.col("_df") <= max_shingle_df).select("sh")
+        sh = sh.join(keep_sh, "sh", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

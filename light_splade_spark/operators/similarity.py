@@ -9,6 +9,7 @@ reproducible and oracle-able) — candidates only join within a bucket.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,11 +72,19 @@ def cosine_neardup_pairs(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold — embedding near-dup filter.
 
-    Exact quadratic form for correctness checking; at 100 TB wrap it with
-    ``lsh_buckets`` candidates (same scores, bucket-restricted join)."""
+    This is the EXACT quadratic form (a BroadcastNestedLoopJoin): O(n²)
+    vector ops by construction, only sane on bounded corpora. It therefore
+    requires an explicit ``exact=True``; the default refuses and points at
+    ``cosine_neardup_pairs_lsh``, the bucketed scale path."""
+    if not exact:
+        raise ValueError(
+            "cosine_neardup_pairs is O(n²) by construction; pass exact=True "
+            "for a bounded corpus, or use cosine_neardup_pairs_lsh (sign-LSH "
+            "bucketed, multi-probe) at scale")
     a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     return (
@@ -84,6 +93,51 @@ def cosine_neardup_pairs(
                 F.round(cosine_col(F.col("va"), F.col("vb")),
                         SCORE_DECIMALS).alias("cos"))
         .where(F.col("cos") >= threshold)
+    )
+
+
+def cosine_neardup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Near-dup pairs via sign-LSH bucketing — the 100 TB path.
+
+    Each vector gets a ``n_planes``-bit sign bucket; candidate pairs share a
+    bucket (an equi-join — the plan contains NO nested-loop join), and exact
+    cosine + threshold re-verifies candidates. ``multiprobe=True`` also
+    probes every 1-bit-flipped bucket from the left side, so any pair whose
+    sign codes differ in <=1 plane is still found — high-cosine pairs rarely
+    differ in more. Deterministic (seeded hyperplanes), hence oracle-able.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    if multiprobe:
+        probe_arr = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(2 ** i)) for i in range(n_planes)],
+        )
+        left = base.select("vec_id", "v", F.explode(probe_arr).alias("probe"))
+    else:
+        left = base.select("vec_id", "v", F.col("bucket").alias("probe"))
+    a, b = left.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.probe") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(cosine_col(F.col("a.v"), F.col("b.v")),
+                        SCORE_DECIMALS).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .distinct()  # a pair can match via several probes
     )
 
 
@@ -103,44 +157,112 @@ def lsh_bucket_col(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 64,
+    iters: int = 5,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer (float64).
+
+    Sample = the ``sample_size`` lowest-id vectors (a TakeOrdered, not a full
+    sort — bounded driver memory at any corpus size); init = the first
+    ``n_centroids`` of the sample; a FIXED number of Lloyd iterations on
+    L2-normalized vectors (cosine k-means). No randomness anywhere, so two
+    builds produce bit-identical centroids — the property the determinism
+    tests and any downstream oracle rely on."""
+    rows = (emb.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample_size).collect())
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[:n_centroids].copy()
+    for _ in range(iters):
+        sim = Xn @ C.T                       # (n, k) cosine since normalized
+        assign = np.argmax(sim, axis=1)      # first max -> lowest index wins
+        for j in range(C.shape[0]):
+            members = Xn[assign == j]
+            if members.size:
+                m = members.sum(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    C[j] = m / nrm           # spherical mean
+    return C
+
+
+def _probe_lists_udf(C: np.ndarray, cids: np.ndarray, n_probe: int):
+    """Pandas UDF: nearest ``n_probe`` centroid ids per vector.
+
+    The centroid matrix ships once per executor in the UDF closure (a
+    broadcast, not a per-row literal expression — the shape that holds at a
+    realistic nlist of thousands). Cosine in float64, rounded to 6 decimals,
+    tie-break on centroid id ASC — mirroring the DuckDB oracle exactly."""
+    from pyspark.sql.functions import pandas_udf
+
+    Cnorm = np.linalg.norm(C, axis=1)
+
+    @pandas_udf("array<bigint>")
+    def probes(vs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if X.size == 0:
+            return pd.Series([], dtype=object)
+        cos = (X @ C.T) / (np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                      1e-12) * Cnorm)
+        r = np.round(cos, 6)
+        # top n_probe by (cos desc, cid asc): lexsort over (cid, -cos)
+        order = np.lexsort((np.broadcast_to(cids, r.shape), -r), axis=1)
+        top = cids[order[:, :n_probe]]
+        return pd.Series([row.tolist() for row in top])
+
+    return probes
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    n_centroids: int = 8,
+    n_centroids: int = 64,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "head",
+    kmeans_iters: int = 5,
 ) -> DataFrame:
-    """IVF-style ANN: coarse quantizer = the first ``n_centroids`` corpus
-    vectors (deterministic, oracle-able stand-in for k-means centroids);
-    every vector is assigned to its nearest centroid (inverted list), a
-    query probes its ``n_probe`` nearest lists and re-ranks exactly within
-    them. At 100 TB: corpus shuffles once on centroid id; queries touch
-    n_probe/n_centroids of the data."""
+    """IVF ANN: coarse-quantize the corpus into ``n_centroids`` inverted
+    lists, probe each query's ``n_probe`` nearest lists, re-rank exactly
+    within them. At 100 TB: the corpus shuffles once on list_id; each query
+    touches ~n_probe/n_centroids of the data; assignment is one Arrow-batched
+    GEMM against a closure-broadcast centroid matrix (never an
+    O(n_centroids)-wide literal expression).
+
+    ``centroids='head'``: the first ``n_centroids`` corpus vectors — a
+    deterministic stand-in that DuckDB can mirror row-for-row (the
+    correctness-gate configuration). ``centroids='kmeans'``: sampled
+    deterministic Lloyd (kmeans_centroids) — the quality path; verified by
+    pytest recall/determinism tests instead of SQL."""
+    import pandas as _pd  # noqa: F401  (pandas_udf needs pandas importable)
     from pyspark.sql import Window
 
-    cents = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in emb.select(id_col, vec_col).orderBy(id_col)
-        .limit(n_centroids).collect()
-    ]
+    if centroids == "head":
+        rows = (emb.select(id_col, vec_col).orderBy(id_col)
+                .limit(n_centroids).collect())
+        C = np.asarray([r[1] for r in rows], dtype=np.float64)
+        cids = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
+    elif centroids == "kmeans":
+        C = kmeans_centroids(emb, n_centroids, iters=kmeans_iters,
+                             id_col=id_col, vec_col=vec_col)
+        cids = np.arange(C.shape[0], dtype=np.int64)
+    else:
+        raise ValueError(f"unknown centroids mode {centroids!r}")
 
-    def _best_lists(vec, n):
-        scored = F.array(*[
-            F.struct(F.round(cosine_col(vec, F.array(*[F.lit(x) for x in cv])),
-                             6).alias("c"),
-                     F.lit(-ci).alias("nr"), F.lit(ci).alias("ci"))
-            for ci, cv in cents
-        ])
-        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
-        return F.transform(top, lambda s: s["ci"])
-
+    assign1 = _probe_lists_udf(C, cids, 1)
+    probe_n = _probe_lists_udf(C, cids, n_probe)
     base = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    assigned = base.withColumn("list_id", _best_lists(F.col("nv"), 1)[0])
+    assigned = base.withColumn("list_id", assign1("nv")[0])
     q = (base.where(F.col("nid").isin(query_ids))
          .select(F.col("nid").alias("qid"), F.col("nv").alias("qv"),
-                 F.explode(_best_lists(F.col("nv"), n_probe)).alias("list_id")))
+                 F.explode(probe_n("nv")).alias("list_id")))
     scored = (
         assigned.join(F.broadcast(q), "list_id")
         .where(F.col("qid") != F.col("nid"))

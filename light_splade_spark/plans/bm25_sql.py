@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from light_splade_spark.functions.analyzers import doc_terms, py_tokenize
+from light_splade_spark.functions.analyzers import (
+    ANALYZER_V1,
+    Analyzer,
+    doc_terms,
+)
 
 K1 = 1.2
 B = 0.75
@@ -83,6 +87,7 @@ def bm25_topk_docs(
     threshold: float = 0.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    analyzer: Analyzer = ANALYZER_V1,
 ) -> DataFrame:
     """End-to-end: corpus DataFrame + literal query batch -> top-k ranking.
 
@@ -93,7 +98,7 @@ def bm25_topk_docs(
     integer ratio, bit-identical across engines.
     """
     spark = docs.sparkSession
-    postings = doc_terms(docs, id_col, text_col).cache()
+    postings = doc_terms(docs, id_col, text_col, analyzer=analyzer).cache()
     n_total = docs.count()
     if n_total == 0:
         raise ValueError("cannot score an empty corpus")
@@ -102,19 +107,21 @@ def bm25_topk_docs(
         .agg(F.sum("dl").alias("s")).collect()[0]["s"]
     ) or 0
     avgdl = int(sum_dl) / n_total
-    qt_rows = query_term_rows(queries)
+    qt_rows = query_term_rows(queries, analyzer)
     qterms = spark.createDataFrame(qt_rows, "qid BIGINT, term STRING, qtf BIGINT")
     return score_bm25(postings, qterms, n_total, avgdl, top_k, threshold)
 
 
-def query_term_rows(queries: list[tuple[int, str]]) -> list[tuple[int, str, int]]:
+def query_term_rows(queries: list[tuple[int, str]],
+                    analyzer: Analyzer = ANALYZER_V1
+                    ) -> list[tuple[int, str, int]]:
     """Tokenize a literal query batch driver-side -> (qid, term, qtf) rows.
     Shared by the Spark path and the oracle-SQL generator so both sides see
     the exact same query terms by construction."""
     rows: list[tuple[int, str, int]] = []
     for qid, text in queries:
         counts: dict[str, int] = {}
-        for t in py_tokenize(text):
+        for t in analyzer.py_tokenize(text):
             counts[t] = counts.get(t, 0) + 1
         rows.extend((qid, t, c) for t, c in sorted(counts.items()))
     return rows
@@ -124,19 +131,16 @@ def query_term_rows(queries: list[tuple[int, str]]) -> list[tuple[int, str, int]
 # DuckDB oracle SQL — mirrors the computation above over the same parquet.
 # --------------------------------------------------------------------------
 
-_TOK_SQL = ("list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), "
-            "x -> x <> '')")
-
-
 def tokens_sql(col: str) -> str:
-    """DuckDB expression equal to analyzers.tokens_col."""
-    return _TOK_SQL.format(col=col)
+    """DuckDB expression equal to analyzers.tokens_col (v1)."""
+    return ANALYZER_V1.duckdb_tokens(col)
 
 
 def bm25_oracle_sql(queries: list[tuple[int, str]], top_k: int = 10,
                     threshold: float = 0.0, table: str = "documents",
                     id_col: str = "doc_id", text_col: str = "text",
-                    float32_impacts: bool = False) -> str:
+                    float32_impacts: bool = False,
+                    analyzer: Analyzer = ANALYZER_V1) -> str:
     """ANSI/DuckDB SQL computing the identical (qid, rank, doc_id, score).
 
     N and avgdl count ALL docs (avgdl = Σdl / N, an exact integer ratio),
@@ -149,7 +153,7 @@ def bm25_oracle_sql(queries: list[tuple[int, str]], top_k: int = 10,
     exactly what index/wand._score_shard computes, making the flagship WAND
     operator hash-comparable against DuckDB.
     """
-    qt = query_term_rows(queries)
+    qt = query_term_rows(queries, analyzer)
     values = ", ".join(
         f"({qid}, '{term}', {qtf})" for qid, term, qtf in qt
     )
@@ -165,7 +169,7 @@ def bm25_oracle_sql(queries: list[tuple[int, str]], top_k: int = 10,
         contrib = f"qt.qtf\n           * {impact}"
     return f"""
 WITH tok AS (
-  SELECT {id_col} AS doc_id, unnest({tokens_sql(text_col)}) AS term
+  SELECT {id_col} AS doc_id, unnest({analyzer.duckdb_tokens(text_col)}) AS term
   FROM {table}
 ),
 dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),

@@ -30,7 +30,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from light_splade_spark.functions.analyzers import ANALYZER_VERSION, doc_terms
+from light_splade_spark.functions.analyzers import doc_terms, get_analyzer
 from light_splade_spark.index.build import (
     POSTING_SCHEMA,
     RUN_SCHEMA,
@@ -53,7 +53,9 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
     if man.status != "complete":
         raise ValueError("cannot append to an incomplete index")
     t0 = time.time()
-    dt = doc_terms(docs, id_col, text_col).cache()
+    # appended docs MUST be tokenized with the analyzer the index pins
+    analyzer = get_analyzer(man.analyzer_version)
+    dt = doc_terms(docs, id_col, text_col, analyzer=analyzer).cache()
 
     terms_path = os.path.join(index_dir, "terms")
     known = spark.read.parquet(terms_path).select("term", "term_id", "idf", "df")
@@ -108,7 +110,7 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
 
     # doc_stats append + lineage
     from light_splade_spark.functions.analyzers import doc_tokens
-    (doc_tokens(docs, id_col, text_col).select("doc_id", "dl")
+    (doc_tokens(docs, id_col, text_col, analyzer=analyzer).select("doc_id", "dl")
      .write.mode("append").parquet(os.path.join(index_dir, "doc_stats")))
     written = spark.read.parquet(out_dir)
     lineage = [r.asDict() for r in written.groupBy("shard", "bucket").agg(
@@ -119,7 +121,7 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
     ).orderBy("shard", "bucket").collect()]
     for r in lineage:
         r["wall_sec"] = round(time.time() - t0, 3)
-        r["analyzer_version"] = ANALYZER_VERSION
+        r["analyzer_version"] = analyzer.version
         r["append_batch"] = batch_id
     write_lineage(index_dir, f"append-{batch_id}", lineage)
     dt.unpersist()

@@ -43,7 +43,8 @@ def test_lsh_mega_bucket_guard(spark):
     rows += [(100, "unique text one variant alpha"),
              (101, "alpha variant one text unique")]  # same token set as 100
     docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
-    uncapped = minhash_lsh_pairs(docs, k=8, band_size=4, shingle_n=1).count()
+    uncapped = minhash_lsh_pairs(docs, k=8, band_size=4, shingle_n=1,
+                                 max_bucket_size=None).count()
     assert uncapped >= 30 * 29 / 2
     capped = minhash_lsh_pairs(docs, k=8, band_size=4, shingle_n=1,
                                max_bucket_size=10)
