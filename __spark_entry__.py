@@ -305,6 +305,48 @@ def q_char_budget(spark, sf_dir):
     )
 
 
+def _media(spark, sf_dir):
+    """Deterministic synthetic media table derived from documents: payload =
+    UTF-8 bytes of the text, kind cycles image/audio/video, duration from
+    doc_id — so every metadata-derived output is DuckDB-expressible while the
+    binary plumbing (BINARY column + struct metadata) is real."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(32).alias("width"), F.lit(32).alias("height"),
+            ((F.col("doc_id") % 5) * 2500).cast("int").alias("duration_ms"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal feature-extraction plumbing (mapInPandas over BINARY
+    payloads, stubbed deterministic decode): byte accounting and feature
+    shape are DuckDB-checkable; the stub feature values are exercised by
+    pytest (tests/test_sources.py)."""
+    from light_splade_spark.operators.multimodal import extract_features
+
+    feats = extract_features(_media(spark, sf_dir), decoder="fake")
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.size("features").alias("f_dim"),
+    )
+
+
+def q_frame_samples(spark, sf_dir):
+    """Video frame-sampling plumbing: one row per sampled timestamp from the
+    metadata struct (mapInPandas; exact row multiset vs DuckDB range())."""
+    from light_splade_spark.operators.multimodal import frame_sample
+
+    media = _media(spark, sf_dir).where(F.col("kind") == "video")
+    return frame_sample(media, every_ms=1000)
+
+
 def q_cjk_tokens(spark, sf_dir):
     """CJK analyzer v2 (F3, reference models/splade.py:237-245 — the
     Japanese-first tokenize path): documents text is deterministically
@@ -445,6 +487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "char_budget": q_char_budget,
         "cjk_tokens": q_cjk_tokens,
+        "media_features": q_media_features,
+        "frame_samples": q_frame_samples,
         "dup_components": q_dup_components,
         "splade_expansion": q_splade_expansion,
         "doc_topterms": q_doc_topterms,
@@ -897,6 +941,21 @@ SELECT event_type,
        round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
        count(*) AS n
 FROM events GROUP BY event_type
+"""
+
+    o["media_features"] = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       16 AS f_dim
+FROM documents WHERE doc_id < 200
+"""
+
+    o["frame_samples"] = """
+SELECT doc_id AS media_id, unnest(range(0, (doc_id % 5) * 2500, 1000)) AS ts_ms
+FROM documents
+WHERE doc_id < 200 AND doc_id % 3 = 2
 """
 
     from light_splade_spark.functions.analyzers import tokens_sql_v2

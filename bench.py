@@ -120,15 +120,28 @@ SCALING_QUERIES = [
 
 def run_scaling(master: str, n_docs: int, shuffle_partitions: int = 64) -> dict:
     """Index build + batch query on an identical deterministic synthetic
-    corpus — only executor parallelism varies between calls."""
+    corpus — only executor parallelism varies between calls.
+
+    Tuned to minimize the bytes-streamed-per-core term that binds on a
+    single shared memory bus (see BENCH/BASELINE.md §2): shuffle files on
+    tmpfs (SPARK_GRAFT_TMPFS=0 opts out), 8-bit block-quantized impacts
+    (SPARK_GRAFT_WBITS=32 opts out — quarters the weight bytes streamed and
+    written while preserving WAND bounds), larger Arrow batches.
+    """
     from light_splade_spark.fixtures import make_corpus_df
     from light_splade_spark.index.build import build_index
     from light_splade_spark.index.wand import wand_topk
     from light_splade_spark.session import get_spark
 
+    wbits = int(os.environ.get("SPARK_GRAFT_WBITS", "8"))
+    extra = {"spark.sql.shuffle.partitions": str(shuffle_partitions),
+             "spark.sql.execution.arrow.maxRecordsPerBatch": "65536"}
+    tmp_local = None
+    if os.environ.get("SPARK_GRAFT_TMPFS", "1") != "0" and os.path.isdir("/dev/shm"):
+        tmp_local = tempfile.mkdtemp(prefix="lss_shuffle_", dir="/dev/shm")
+        extra["spark.local.dir"] = tmp_local
     spark = get_spark(app_name=f"lss-scale-{master}", master=master,
-                      extra_conf={
-                          "spark.sql.shuffle.partitions": str(shuffle_partitions)})
+                      extra_conf=extra)
     corpus_path = f"/tmp/lss_scaling_corpus_{n_docs}"
     if not os.path.exists(corpus_path):
         make_corpus_df(spark, n_docs).write.mode("overwrite").parquet(corpus_path)
@@ -137,13 +150,21 @@ def run_scaling(master: str, n_docs: int, shuffle_partitions: int = 64) -> dict:
     try:
         t_build, _ = _timed(lambda: build_index(
             spark, docs, idx_dir, n_shards=None, n_buckets=16, n_salts=8,
-            n_shard_groups=1, run_size=4096))
+            n_shard_groups=1, run_size=4096, weight_bits=wbits))
         t_query, _ = _timed(lambda: _noop(
             wand_topk(spark, idx_dir, SCALING_QUERIES, top_k=10, mode="bmw")))
+        t_query100, _ = _timed(lambda: _noop(wand_topk(
+            spark, idx_dir,
+            [(100 + i, f"t{(7 * i) % 30000:05d} t{(13 * i) % 30000:05d} "
+                       f"t{(29 * i) % 30000:05d}") for i in range(100)],
+            top_k=10, mode="bmw")))
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+        if tmp_local:
+            shutil.rmtree(tmp_local, ignore_errors=True)
     spark.stop()
     return {"build_sec": round(t_build, 2), "query_sec": round(t_query, 2),
+            "query100_sec": round(t_query100, 2),
             "build_docs_per_sec": round(n_docs / t_build, 1)}
 
 

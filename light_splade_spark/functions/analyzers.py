@@ -223,19 +223,43 @@ def doc_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def splade_expansion(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """SPLADE-style term-weight expansion with a deterministic stand-in
-    encoder (reference ``models/splade.py:136-180``): per token position a
-    pseudo-logit is derived from a cross-engine hash of (term, position),
-    weighted by log1p(relu(logit)), then MAX-aggregated over positions per
-    (doc, term) — exactly the reference's ``agg="max"`` path — and rounded to
-    4 decimals like ``to_sparse`` (``models/splade.py:174``). Zero weights
-    are dropped (the reference's nonzero gather, ``models/splade.py:168``).
+                     text_col: str = "text",
+                     encoder: Callable[[pd.Series], pd.Series] | None = None,
+                     ) -> DataFrame:
+    """SPLADE-style term-weight expansion -> (doc_id, term, weight).
 
-    A real deployment swaps the pseudo-logit for an Arrow pandas-UDF model
-    forward pass; every downstream operator (explode, max-agg, round,
-    nonzero filter) is unchanged.
+    ``encoder`` is the pluggable model seam (reference
+    ``SpladeEncoder.encode``, ``models/splade.py:196-269``): a callable
+    ``pd.Series[str] -> pd.Series[dict[str, float]]`` run as an
+    Arrow-batched pandas UDF — one Arrow batch in, one term->weight map per
+    text out. A real SPLADE model drops in by wrapping its tokenizer+forward
+    pass (+ ``to_sparse``, ``models/splade.py:147-180``) in that signature;
+    one encoder instance per executor via a lazy module global is the
+    recommended pattern. Downstream semantics are shared with the default
+    path: explode to rows, round(·, 4) like ``to_sparse``
+    (``models/splade.py:174``), drop zero/negative weights (the nonzero
+    gather, ``models/splade.py:168``).
+
+    With ``encoder=None`` a deterministic stand-in runs instead, fully
+    JVM-side (the correctness-oracle configuration): per token position a
+    pseudo-logit from a cross-engine hash of (term, position), weighted
+    log1p(relu(logit)), MAX over positions per (doc, term) — exactly the
+    reference's ``agg="max"`` path (``models/splade.py:136-145``).
     """
+    if encoder is not None:
+        from pyspark.sql.types import FloatType, MapType
+
+        @pandas_udf(MapType(StringType(), FloatType()))
+        def encode_udf(texts: pd.Series) -> pd.Series:
+            return encoder(texts)
+
+        return (
+            docs.select(F.col(id_col).alias("doc_id"),
+                        encode_udf(F.col(text_col)).alias("m"))
+            .select("doc_id", F.explode("m").alias("term", "w"))
+            .select("doc_id", "term", F.round("w", 4).alias("weight"))
+            .where(F.col("weight") > 0)
+        )
     toks = tokens_col(text_col)
     pos = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -295,6 +295,48 @@ def build_dims(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return dt, terms, scalars
 
 
+def _impact_dims(weights_df: DataFrame, doc_stats_path: str | None = None):
+    """Dims for an impact (encoder-weight) index: -> (dt, terms, scalars).
+
+    dt = (doc_id, term, weight float32); dl here = nonzero terms per doc
+    (recorded for stats/lineage — impact scoring never reads dl/avgdl).
+    Mirrors build_dims' one-job Observation trick for the scalars."""
+    from pyspark.sql import Observation
+
+    dt = weights_df.select(
+        "doc_id", "term", F.col("weight").cast("float").alias("weight")
+    ).cache()
+    doc_stats = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    obs = Observation("impact_scalars")
+    doc_stats = doc_stats.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
+        F.max("doc_id").alias("max_doc"))
+    if doc_stats_path is not None:
+        doc_stats.write.mode("overwrite").parquet(doc_stats_path)
+        got = obs.get
+    else:
+        r = doc_stats.agg(F.count(F.lit(1)).alias("n"),
+                          F.avg("dl").alias("avgdl"),
+                          F.max("doc_id").alias("max_doc")).collect()[0]
+        got = {"n": r["n"], "avgdl": r["avgdl"], "max_doc": r["max_doc"]}
+    if got["n"] is None or int(got["n"]) == 0:
+        raise ValueError("cannot build an index over empty weights")
+    scalars = {"n_docs": int(got["n"]), "avgdl": float(got["avgdl"]),
+               "max_doc": int(got["max_doc"])}
+    terms = (
+        dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("cf", F.lit(None).cast("bigint"))
+        .withColumn("tid", F.xxhash64("term"))
+        .withColumn("term_id", F.col("tid"))
+        .select(
+            "term", "term_id", "tid", "df", "cf",
+            F.log(1.0 + (F.lit(float(scalars["n_docs"])) - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)).alias("idf"),
+        )
+    )
+    return dt, terms, scalars
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -310,6 +352,7 @@ def build_index(
     weight_bits: int = 32,
     resume: bool = False,
     analyzer: Analyzer = ANALYZER_V1,
+    weights_df: DataFrame | None = None,
     fail_after_group: int | None = None,  # test hook: simulate a crash
 ) -> IndexManifest:
     """Build (or resume) the inverted index at ``index_dir``.
@@ -318,6 +361,15 @@ def build_index(
     Japanese/CJK corpora, matching the reference's Japanese-first data). Its
     version is pinned in the manifest; a resumed build re-resolves the
     analyzer from the manifest so a resume can never mix tokenizations.
+
+    ``weights_df`` (doc_id, term, weight) switches the index to IMPACT
+    scoring (manifest ``scoring="impact"``): the stored float32 impact is
+    the provided weight verbatim — the SPLADE deployment path, fed by
+    ``splade_expansion(docs, encoder=...)`` with a real model behind the
+    encoder seam (reference ``models/splade.py:196-269``). Query-side, pass
+    ``query_weights`` to ``wand_topk``. All scale machinery (sharding,
+    salting, two-phase merge, block-max, resume) is identical; a resumed
+    impact build must be given the same ``weights_df`` again.
     """
     os.makedirs(index_dir, exist_ok=True)
     if resume and os.path.exists(os.path.join(index_dir, "manifest.json")):
@@ -325,14 +377,26 @@ def build_index(
         if man.status == "complete":
             return man
         analyzer = get_analyzer(man.analyzer_version)
+        if (man.scoring == "impact") != (weights_df is not None):
+            raise ValueError(
+                f"resume scoring mismatch: manifest says {man.scoring!r} "
+                f"but weights_df is {'set' if weights_df is not None else 'absent'}")
     else:
         man = None
 
-    dt, terms, scalars = build_dims(
-        docs, id_col, text_col,
-        doc_stats_path=os.path.join(index_dir, "doc_stats") if man is None else None,
-        analyzer=analyzer,
-    )
+    if weights_df is None:
+        dt, terms, scalars = build_dims(
+            docs, id_col, text_col,
+            doc_stats_path=os.path.join(index_dir, "doc_stats") if man is None else None,
+            analyzer=analyzer,
+        )
+        scoring = "bm25"
+    else:
+        dt, terms, scalars = _impact_dims(
+            weights_df,
+            doc_stats_path=os.path.join(index_dir, "doc_stats") if man is None else None,
+        )
+        scoring = "impact"
     if man is None:
         if n_shards is None:
             # target ~25k docs per shard: shard count grows with the corpus
@@ -343,7 +407,7 @@ def build_index(
             n_docs=scalars["n_docs"], avgdl=scalars["avgdl"],
             n_shards=n_shards, n_buckets=n_buckets, run_size=run_size,
             block_size=block_size, n_shard_groups=n_shard_groups,
-            n_salts=n_salts, weight_bits=weight_bits,
+            n_salts=n_salts, weight_bits=weight_bits, scoring=scoring,
         )
         man.created_unix = time.time()
         terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
@@ -365,7 +429,15 @@ def build_index(
         F.lit(n_salts),
         F.ceil(F.col("df") / F.lit(float(run_size))).cast("int"),
     )
-    # impact = idf * saturated tf (float32, reference index dtype)
+    if scoring == "impact":
+        # impact = the encoder weight, float32 verbatim
+        w_col = F.col("weight").cast("float").alias("w")
+    else:
+        # impact = idf * saturated tf (float32, reference index dtype)
+        w_col = (
+            F.col("idf") * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl)))
+        ).cast("float").alias("w")
     posts = (
         dt.join(terms_b, "term")
         .select(
@@ -373,10 +445,7 @@ def build_index(
             F.pmod(F.col("term_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
             "term_id",
             "doc_id",
-            (
-                F.col("idf") * (F.col("tf") * (K1 + 1.0))
-                / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl)))
-            ).cast("float").alias("w"),
+            w_col,
             F.floor(F.col("doc_id") * n_salts_t / F.lit(max_doc + 1))
             .cast("int").alias("salt"),
         )

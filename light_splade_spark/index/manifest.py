@@ -40,6 +40,9 @@ class IndexManifest:
     n_shard_groups: int
     n_salts: int = 8
     weight_bits: int = 32
+    # "bm25": impacts = idf * saturated tf; "impact": impacts are encoder
+    # weights passed via build_index(weights_df=...) (SPLADE-style scoring)
+    scoring: str = "bm25"
     completed_groups: list[int] = field(default_factory=list)
     status: str = "building"
     created_unix: float = 0.0

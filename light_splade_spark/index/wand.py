@@ -49,7 +49,7 @@ _GUARD = 10.0 ** (-SCORE_DECIMALS)  # rounding guard for the prune bound
 
 def _score_shard(
     pdf: pd.DataFrame,
-    qplan: dict[int, list[tuple[int, int]]],
+    qplan: dict[int, list[tuple[int, float]]],
     top_k: int,
     threshold: float,
     mode: str,
@@ -217,17 +217,33 @@ _TERMS_CACHE: dict[tuple[str, float], dict[str, int | None]] = {}
 
 
 def build_query_plan(
-    spark: SparkSession, index_dir: str, queries: list[tuple[int, str]]
-) -> tuple[dict[int, list[tuple[int, int]]], list[int], list[int]]:
-    """-> (qid -> [(term_id, qtf)], term_ids, buckets)."""
+    spark: SparkSession, index_dir: str,
+    queries: list[tuple[int, str]] | None = None,
+    query_weights: list[tuple[int, dict[str, float]]] | None = None,
+) -> tuple[dict[int, list[tuple[int, float]]], list[int], list[int]]:
+    """-> (qid -> [(term_id, qweight)], term_ids, buckets).
+
+    ``queries`` = (qid, text) pairs tokenized with the index's pinned
+    analyzer, weight = term frequency (BM25 scoring). ``query_weights`` =
+    (qid, {term: weight}) — the encoder seam's query side: weights come from
+    a model (e.g. ``splade_expansion(encoder=...)`` on the query text) and
+    are used verbatim, matching the reference's query-CSR dot product
+    (``sparse_retriever.py:78``)."""
     import os as _os
 
+    if (queries is None) == (query_weights is None):
+        raise ValueError("pass exactly one of queries / query_weights")
     man = IndexManifest.load(index_dir)
     # resolve the analyzer the index was built with (raises on unknown
     # versions — tokenization must be identical on both sides)
     ana = get_analyzer(man.analyzer_version)
-    vocab_needed = sorted({t for _, text in queries
-                           for t in ana.py_tokenize(text)})
+    if query_weights is not None:
+        qmaps: list[tuple[int, dict[str, float]]] = [
+            (qid, dict(m)) for qid, m in query_weights]
+    else:
+        qmaps = [(qid, dict(Counter(ana.py_tokenize(text))))
+                 for qid, text in queries]
+    vocab_needed = sorted({t for _, m in qmaps for t in m})
     key = (index_dir, _os.path.getmtime(_os.path.join(index_dir, "terms")))
     cached = _TERMS_CACHE.setdefault(key, {})
     missing = [t for t in vocab_needed if t not in cached]
@@ -241,9 +257,8 @@ def build_query_plan(
         for t in missing:
             cached[t] = found.get(t)  # None = known-absent, cached too
     tmap = {t: cached[t] for t in vocab_needed if cached[t] is not None}
-    qplan: dict[int, list[tuple[int, int]]] = {}
-    for qid, text in queries:
-        counts = Counter(ana.py_tokenize(text))
+    qplan: dict[int, list[tuple[int, float]]] = {}
+    for qid, counts in qmaps:
         lst = [(tmap[t], c) for t, c in sorted(counts.items()) if t in tmap]
         if lst:
             qplan[qid] = lst
@@ -255,11 +270,12 @@ def build_query_plan(
 def wand_topk(
     spark: SparkSession,
     index_dir: str,
-    queries: list[tuple[int, str]],
+    queries: list[tuple[int, str]] | None = None,
     top_k: int = 10,
     threshold: float = 0.0,
     mode: str = "bmw",
     target_doc_ids: list[int] | None = None,
+    query_weights: list[tuple[int, dict[str, float]]] | None = None,
 ) -> DataFrame:
     """-> DataFrame(qid, rank, doc_id, score) — rank-identical to the exact
     SQL path (plans/bm25_sql.score_bm25) on the same corpus.
@@ -270,7 +286,8 @@ def wand_topk(
     queries against the index) use plans/bm25_sql.score_bm25 — the same
     semantics expressed as a join, which shuffles instead of broadcasting
     and scales with the cluster."""
-    qplan, tids, buckets = build_query_plan(spark, index_dir, queries)
+    qplan, tids, buckets = build_query_plan(spark, index_dir, queries,
+                                            query_weights)
     target = (np.unique(np.asarray(target_doc_ids, dtype=np.int64))
               if target_doc_ids is not None else None)
     if not qplan:

@@ -267,15 +267,75 @@ def simhash_dupes(docs: DataFrame, id_col: str = "doc_id",
 # --- duplicate clusters (connected components) -------------------------------
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def _sym(e: DataFrame) -> DataFrame:
+    """Symmetrize + dedupe an (src, dst) edge set."""
+    return (e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _min_star(e: DataFrame) -> DataFrame:
+    """Per center: m = min(neighbors ∪ {self}) -> (src, m)."""
+    return (e.groupBy("src").agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", F.col("src")).alias("m")))
+
+
+def connected_components_star(pairs: DataFrame,
+                              max_iter: int = 20) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star CC (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", 2014 — public algorithm):
+    O(log² n) rounds on ANY graph shape, vs O(diameter) for plain label
+    propagation — the difference between 3 and 60 rounds on a crawl-chain
+    graph. Returns (labels, rounds_used); each round is two join+groupBy
+    passes over the (shrinking) edge set, localCheckpointed to cut lineage.
+    """
+    E = _sym(pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))).localCheckpoint()
+    nodes = E.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    prev_sig = None
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        # large-star: every strictly-larger neighbor hooks to the center min
+        m = _min_star(E)
+        ls = (E.join(m, "src").where(F.col("dst") > F.col("src"))
+              .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+        E1 = _sym(ls).localCheckpoint()
+        # small-star: smaller-or-equal neighbors AND the center hook to min
+        m2 = _min_star(E1)
+        ss = (E1.join(m2, "src").where(F.col("dst") <= F.col("src"))
+              .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+              .unionByName(m2.select("src", F.col("m").alias("dst"))))
+        E = _sym(ss).localCheckpoint()
+        # overflow-free edge-set signature: count + xor of per-edge hashes
+        sig = tuple(E.agg(F.count(F.lit(1)),
+                          F.expr("bit_xor(xxhash64(src, dst))")).collect()[0])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged graph is a union of stars: component = min(self, neighbors)
+    labels = (
+        nodes.join(E, nodes.node == E.src, "left")
+        .groupBy("node")
+        .agg(F.least(F.min("dst"), F.first("node")).alias("component"))
+        .select("node", F.coalesce("component", F.col("node"))
+                .alias("component"))
+    )
+    return labels, rounds
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25,
+                         algorithm: str = "star") -> DataFrame:
     """(node BIGINT, component BIGINT) — component = min node id reachable.
 
-    Iterative min-label propagation over the dup-pair graph (pairs from any
-    of the candidate generators above). Near-dup graphs have tiny diameter,
-    so this converges in a handful of joins; each iteration localCheckpoints
-    to cut lineage (driver loop, but every step is a distributed join —
-    the standard Spark CC shape when GraphFrames isn't available).
+    ``algorithm="star"`` (default): alternating large-star/small-star —
+    round count is O(log²) in component size, independent of graph diameter
+    (the 100 TB-crawl-safe choice). ``algorithm="label"``: plain min-label
+    propagation, O(diameter) joins — kept as the easily-audited baseline.
     """
+    if algorithm == "star":
+        labels, _ = connected_components_star(pairs, max_iter)
+        return labels
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"),

@@ -56,6 +56,32 @@ def test_jaccard_candidates_filter_applied_before_join(spark):
     assert rows[0].jaccard == 1.0
 
 
+def test_star_cc_matches_label_cc_and_converges_fast(spark):
+    from light_splade_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # worst case for label propagation: one long chain (diameter 59) plus a
+    # separate clique-ish component
+    chain = [(i, i + 1) for i in range(60)]
+    extra = [(100, 101), (101, 102), (100, 102)]
+    pairs = spark.createDataFrame(chain + extra, "doc_a BIGINT, doc_b BIGINT")
+
+    star_labels, rounds = connected_components_star(pairs)
+    star = {r.node: r.component for r in star_labels.collect()}
+    # label propagation needs diameter(59) rounds on the chain — with the
+    # default max_iter=25 it returns UNCONVERGED labels (star doesn't)
+    label = {r.node: r.component
+             for r in connected_components(pairs, max_iter=80,
+                                           algorithm="label").collect()}
+    assert star == label
+    assert all(star[n] == 0 for n in range(61))
+    assert all(star[n] == 100 for n in (100, 101, 102))
+    # label propagation needs ~diameter (59) rounds; star needs O(log^2)
+    assert rounds <= 8, f"star CC took {rounds} rounds on a 60-chain"
+
+
 def test_lsh_default_cap_excludes_mega_bucket(spark):
     # 1200 byte-identical docs exceed the default 1000 bucket cap -> the
     # mega-cluster is routed away from the pair join; distinct near-dups
