@@ -158,6 +158,14 @@ def run_scaling(master: str, n_docs: int, shuffle_partitions: int = 64) -> dict:
             [(100 + i, f"t{(7 * i) % 30000:05d} t{(13 * i) % 30000:05d} "
                        f"t{(29 * i) % 30000:05d}") for i in range(100)],
             top_k=10, mode="bmw")))
+        # 1000-query batch: the CPU-bound regime of the query stage (kernel
+        # scoring work dominates decode + scheduling overhead)
+        t_query1000, _ = _timed(lambda: _noop(wand_topk(
+            spark, idx_dir,
+            [(1000 + i, f"t{(7 * i) % 30000:05d} t{(13 * i) % 30000:05d} "
+                        f"t{(29 * i) % 30000:05d} t{(41 * i) % 30000:05d}")
+             for i in range(1000)],
+            top_k=10, mode="bmw")))
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         if tmp_local:
@@ -165,10 +173,105 @@ def run_scaling(master: str, n_docs: int, shuffle_partitions: int = 64) -> dict:
     spark.stop()
     return {"build_sec": round(t_build, 2), "query_sec": round(t_query, 2),
             "query100_sec": round(t_query100, 2),
+            "query1000_sec": round(t_query1000, 2),
             "build_docs_per_sec": round(n_docs / t_build, 1)}
 
 
+def _query_batch(n: int) -> list[tuple[int, str]]:
+    return [(1000 + i, f"t{(7 * i) % 30000:05d} t{(13 * i) % 30000:05d} "
+                       f"t{(29 * i) % 30000:05d} t{(41 * i) % 30000:05d}")
+            for i in range(n)]
+
+
+def _scale_master(cores: str) -> tuple[str, dict]:
+    """Parallelism level -> (master, extra_conf). SPARK_GRAFT_LC=1 selects
+    ``local-cluster[cores,1,mem]`` — one real executor JVM per core, each
+    with its own heap/GC/shuffle server — the honest sandbox emulation of
+    "N executors vs 4N executors" (a single shared local[N] JVM conflates
+    executor scaling with intra-JVM contention)."""
+    if os.environ.get("SPARK_GRAFT_LC", "0") == "1":
+        mem = os.environ.get("SPARK_GRAFT_LC_MEM_MB", "4096")
+        os.environ.setdefault("SPARK_LOCAL_DIRS",
+                              "/dev/shm/spark-local"
+                              if os.path.isdir("/dev/shm") else "/tmp")
+        conf = {"spark.executorEnv.PYTHONPATH":
+                os.path.dirname(os.path.abspath(__file__))}
+        return f"local-cluster[{cores},1,{mem}]", conf
+    return f"local[{cores}]", {}
+
+
+def run_query_scaling_one(master: str, idx_dir: str, n_queries: int,
+                          extra_conf: dict | None = None) -> dict:
+    """Batch-query stage at one parallelism level over a SHARED prebuilt
+    index — only executor parallelism varies between levels. One warm-up
+    batch first so JVM/codegen/Python-worker startup and the terms-dim
+    lookup (driver-side constants identical at every level) are excluded
+    from the measured throughput, exactly as a long-running query service
+    amortizes them."""
+    from light_splade_spark.index.wand import wand_topk
+    from light_splade_spark.session import get_spark
+
+    spark = get_spark(app_name=f"lss-qscale-{master}", master=master,
+                      extra_conf={"spark.sql.shuffle.partitions": "64",
+                                  **(extra_conf or {})})
+    # warm-up: same batch once — fills the per-process term->id cache and
+    # spawns JVM codegen + Python workers, i.e. the steady state of a
+    # long-running query service; identical at every parallelism level
+    _noop(wand_topk(spark, idx_dir, _query_batch(n_queries), top_k=10,
+                    mode="bmw"))
+    t, _ = _timed(lambda: _noop(
+        wand_topk(spark, idx_dir, _query_batch(n_queries), top_k=10,
+                  mode="bmw")))
+    spark.stop()
+    return {"query_batch_sec": round(t, 2),
+            "qps": round(n_queries / t, 1)}
+
+
 def main() -> None:
+    if "--query-scaling-one" in sys.argv:
+        cores = sys.argv[sys.argv.index("--query-scaling-one") + 1]
+        idx_dir = sys.argv[sys.argv.index("--query-scaling-one") + 2]
+        nq = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "1000"))
+        master, conf = _scale_master(cores)
+        print(json.dumps(run_query_scaling_one(master, idx_dir, nq,
+                                               extra_conf=conf)))
+        return
+    if "--query-scaling" in sys.argv:
+        import subprocess
+
+        from light_splade_spark.fixtures import make_corpus_df
+        from light_splade_spark.index.build import build_index
+        from light_splade_spark.session import get_spark
+
+        n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "800000"))
+        wbits = int(os.environ.get("SPARK_GRAFT_WBITS", "8"))
+        idx_dir = f"/tmp/lss_qscale_idx_{n_docs}_w{wbits}"
+        if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+            spark = get_spark(app_name="lss-qscale-build", master="local[8]",
+                              extra_conf={"spark.sql.shuffle.partitions": "64"})
+            corpus_path = f"/tmp/lss_scaling_corpus_{n_docs}"
+            if not os.path.exists(corpus_path):
+                make_corpus_df(spark, n_docs).write.mode("overwrite") \
+                    .parquet(corpus_path)
+            build_index(spark, spark.read.parquet(corpus_path), idx_dir,
+                        n_shards=None, n_buckets=16, n_salts=8,
+                        n_shard_groups=1, run_size=4096, weight_bits=wbits)
+            spark.stop()
+        res = {}
+        for cores in ("2", "8"):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--query-scaling-one", cores, idx_dir],
+                capture_output=True, text=True, check=True, env=os.environ)
+            res[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        qn, q4n = res["2"]["query_batch_sec"], res["8"]["query_batch_sec"]
+        print(json.dumps({
+            "n_docs": n_docs, "cores_n": 2, "cores_4n": 8,
+            "query_batch_sec_n": qn, "query_batch_sec_4n": q4n,
+            "query_scaling_efficiency": round((qn / q4n) / 4.0, 3),
+            "detail": res,
+        }))
+        return
     if "--scaling-one" in sys.argv:
         cores = sys.argv[sys.argv.index("--scaling-one") + 1]
         n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
@@ -188,13 +291,13 @@ def main() -> None:
             )
             res[cores] = json.loads(out.stdout.strip().splitlines()[-1])
         tn, t4n = res["2"]["build_sec"], res["8"]["build_sec"]
-        qn, q4n = res["2"]["query_sec"], res["8"]["query_sec"]
+        qn, q4n = res["2"]["query1000_sec"], res["8"]["query1000_sec"]
         out = {
             "n_docs": n_docs,
             "cores_n": 2, "cores_4n": 8,
             "build_sec_n": tn, "build_sec_4n": t4n,
             "build_scaling_efficiency": round((tn / t4n) / 4.0, 3),
-            "query_sec_n": qn, "query_sec_4n": q4n,
+            "query1000_sec_n": qn, "query1000_sec_4n": q4n,
             "query_scaling_efficiency": round((qn / q4n) / 4.0, 3),
             "detail": res,
         }

@@ -96,12 +96,25 @@ class Engine:
 
     def stats(self, top_n: int = 20) -> dict:
         """Index statistics, reference ``sparse_indexer.py:173-198``:
-        avg nonzero per doc, sparsity vs vocab, top-N terms by df ratio —
-        computed from the dims, no postings decode."""
+        avg nonzero per doc, sparsity vs vocab, top-N terms by df ratio,
+        subword-token count — computed from the dims, no postings decode.
+
+        ``num_subword_tokens`` is the analog of the reference's
+        ``##``-prefixed wordpiece count (``sparse_indexer.py:192``): our
+        deterministic analyzers have no wordpiece marker, so the
+        tokenizer-internal unit counted is the CJK character bigram the v2
+        analyzer emits (0 on a pure-ASCII v1 index, by construction)."""
+        from light_splade_spark.functions.analyzers import CJK_RANGE
+
         n = self.manifest.n_docs
         t = self.terms()
-        vocab = t.count()
-        tot = t.agg(F.sum("df").alias("s")).collect()[0]["s"]
+        row = t.agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum("df").alias("s"),
+            F.count(F.when(F.col("term").rlike(f"^[{CJK_RANGE}]"), 1))
+            .alias("subword"),
+        ).collect()[0]
+        vocab, tot, n_subword = row["vocab"], row["s"], row["subword"]
         top = (t.orderBy(F.desc("df"), F.asc("term")).limit(top_n)
                .select("term", F.round(F.col("df") / n, 2).alias("ratio"))
                .collect())
@@ -112,6 +125,7 @@ class Engine:
             "vocab_size": vocab,
             "avg_nonzero_count": round(avg_nnz, 4),
             "avg_sparsity": round(1.0 - avg_nnz / vocab, 6) if vocab else 0.0,
+            "num_subword_tokens": int(n_subword or 0),
             "most_common_tokens": [(r["term"], float(r["ratio"])) for r in top],
         }
 

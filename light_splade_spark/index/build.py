@@ -242,44 +242,53 @@ def build_dims(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                analyzer: Analyzer = ANALYZER_V1):
     """-> (doc_terms_df, terms_df, scalars dict).
 
-    Scalars (N, avgdl, max_doc) piggyback on the doc_stats parquet write via
-    ``DataFrame.observe`` — one job instead of two.
+    One tokenize pass total: the (doc, term, tf) expansion is cached, and
+    per-doc lengths come from it (groupBy doc_id) — the write of that dl
+    table both persists doc_stats AND materializes the expansion cache,
+    with Σdl piggybacked via ``DataFrame.observe``. Corpus-wide N/max_doc
+    come from a separate column-pruned count scan (no tokenize), so
+    zero-token docs still count toward N and avgdl = Σdl / N exactly as the
+    scoring paths and oracles define them. (Previously doc_stats re-tokenized
+    the whole corpus — a second full bandwidth-bound pass.)
 
     term_id_mode='hash' (default): term_id = xxhash64(term) — deterministic
     and pass-free; collision odds ~V^2/2^65 (negligible below 10^8 distinct
     terms, detectable via groupBy(term_id) where a deployment cares).
     'dense': df-descending consecutive ids via the scalable Arrow
     zipWithIndex in plans.stats (two extra lightweight jobs).
+
+    NOTE (scale trade-off, see DESIGN.md): the (doc, term) pair agg carries
+    term strings. A variant that hashes terms pre-shuffle (strings then only
+    cross the wire in a vocab-sized map-side-combined agg) costs one extra
+    tokenize pass; on a network-shuffle cluster at PB scale that trade wins,
+    on this single-node sandbox the extra scan loses (~+25% wall), so the
+    two-pass shape ships as default.
     """
     from pyspark.sql import Observation
 
-    from light_splade_spark.functions.analyzers import doc_tokens
-
-    # NOTE (scale trade-off, see DESIGN.md): here the (doc, term) pair agg
-    # carries term strings. A variant that hashes terms pre-shuffle (strings
-    # then only cross the wire in a vocab-sized map-side-combined agg) costs
-    # one extra tokenize pass; on a network-shuffle cluster at PB scale that
-    # trade wins, on this single-node sandbox the extra scan loses (~+25%
-    # wall), so the two-pass shape ships as default.
     dt = doc_terms(docs, id_col, text_col, analyzer=analyzer).cache()
-    doc_stats = (doc_tokens(docs, id_col, text_col, analyzer=analyzer)
-                 .select("doc_id", "dl"))
+    # light scalars scan: column-pruned count + max id over ALL docs
+    r0 = docs.agg(F.count(F.lit(1)).alias("n"),
+                  F.max(F.col(id_col)).alias("max_doc")).collect()[0]
+    if int(r0["n"] or 0) == 0:
+        raise ValueError("cannot build an index over an empty corpus")
+    # dl per doc from the cached expansion, right-joined to the full doc-id
+    # list (a thin column-pruned scan) so zero-token docs keep their dl=0
+    # rows; the write materializes the dt cache in the same job
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    dl_df = (ids.join(dt.groupBy("doc_id").agg(F.first("dl").alias("dl")),
+                      "doc_id", "left")
+             .select("doc_id", F.coalesce("dl", F.lit(0)).alias("dl")))
     obs = Observation("corpus_scalars")
-    doc_stats = doc_stats.observe(
-        obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
-        F.max("doc_id").alias("max_doc"))
+    dl_df = dl_df.observe(obs, F.sum("dl").alias("sum_dl"))
     if doc_stats_path is not None:
-        doc_stats.write.mode("overwrite").parquet(doc_stats_path)
+        dl_df.write.mode("overwrite").parquet(doc_stats_path)
         got = obs.get
     else:
-        r = doc_stats.agg(F.count(F.lit(1)).alias("n"),
-                          F.avg("dl").alias("avgdl"),
-                          F.max("doc_id").alias("max_doc")).collect()[0]
-        got = {"n": r["n"], "avgdl": r["avgdl"], "max_doc": r["max_doc"]}
-    if got["n"] is None or int(got["n"]) == 0 or got["avgdl"] is None:
-        raise ValueError("cannot build an index over an empty corpus")
-    scalars = {"n_docs": int(got["n"]), "avgdl": float(got["avgdl"]),
-               "max_doc": int(got["max_doc"])}
+        got = {"sum_dl": dl_df.agg(F.sum("dl")).collect()[0][0]}
+    scalars = {"n_docs": int(r0["n"]),
+               "avgdl": int(got["sum_dl"] or 0) / int(r0["n"]),
+               "max_doc": int(r0["max_doc"])}
     terms = (dt.groupBy("term")
              .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
              .withColumn("tid", F.xxhash64("term")))
@@ -371,6 +380,14 @@ def build_index(
     salting, two-phase merge, block-max, resume) is identical; a resumed
     impact build must be given the same ``weights_df`` again.
     """
+    trace = os.environ.get("SPARK_GRAFT_BUILD_TRACE") == "1"
+    _t0 = time.time()
+
+    def _tr(label: str) -> None:
+        if trace:
+            print(f"[build-trace] {label}: {time.time() - _t0:.2f}s",
+                  flush=True)
+
     os.makedirs(index_dir, exist_ok=True)
     if resume and os.path.exists(os.path.join(index_dir, "manifest.json")):
         man = IndexManifest.load(index_dir)
@@ -410,7 +427,9 @@ def build_index(
             n_salts=n_salts, weight_bits=weight_bits, scoring=scoring,
         )
         man.created_unix = time.time()
+        _tr("dims")
         terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
+        _tr("terms_written")
         man.save(index_dir)
     n_shards = man.n_shards
 
@@ -474,6 +493,7 @@ def build_index(
         # O(tasks * buckets) tiny files and a long driver-side commit
         (final.repartition(n_buckets, "bucket")
          .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
+        _tr(f"group{group}_postings_written")
         # lineage + metrics per (shard, bucket) partition of this group
         written = spark.read.parquet(out_dir)
         lineage = [
@@ -489,6 +509,7 @@ def build_index(
             r["wall_sec"] = round(time.time() - t0, 3)
             r["analyzer_version"] = analyzer.version
         write_lineage(index_dir, group, lineage)
+        _tr(f"group{group}_lineage_done")
         man.completed_groups.append(group)
         man.save(index_dir)
         if fail_after_group is not None and group >= fail_after_group:

@@ -248,11 +248,19 @@ def build_query_plan(
     cached = _TERMS_CACHE.setdefault(key, {})
     missing = [t for t in vocab_needed if t not in cached]
     if missing:
+        terms_df = read_terms(spark, index_dir)
+        if len(missing) > 256:
+            # a giant isin literal costs seconds of driver-side Catalyst/
+            # codegen work (serial!); for big query batches ship the term
+            # list as a broadcast semi-join instead
+            mdf = spark.createDataFrame([(t,) for t in missing],
+                                        "term STRING")
+            matched = terms_df.join(F.broadcast(mdf), "term", "left_semi")
+        else:
+            matched = terms_df.where(F.col("term").isin(missing))
         found = {
             r["term"]: int(r["term_id"])
-            for r in read_terms(spark, index_dir)
-            .where(F.col("term").isin(missing))
-            .select("term", "term_id").collect()
+            for r in matched.select("term", "term_id").collect()
         }
         for t in missing:
             cached[t] = found.get(t)  # None = known-absent, cached too
@@ -292,11 +300,18 @@ def wand_topk(
               if target_doc_ids is not None else None)
     if not qplan:
         return spark.createDataFrame([], "qid BIGINT, rank INT, doc_id BIGINT, score DOUBLE")
-    posts = (
-        read_postings(spark, index_dir)
-        .where(F.col("bucket").isin(buckets) & F.col("term_id").isin(tids))
-        .select("shard", "term_id", "postings", "bm_last", "bm_max")
-    )
+    posts = read_postings(spark, index_dir).where(
+        F.col("bucket").isin(buckets))  # partition pruning (<= n_buckets)
+    if len(tids) > 256:
+        # big batches: broadcast semi-join on term_id — same row set, but
+        # avoids an O(|tids|)-literal predicate whose codegen is serial
+        # driver work (the measured constant that killed query-batch scaling)
+        tdf = spark.createDataFrame([(t,) for t in tids], "term_id BIGINT")
+        posts = posts.join(F.broadcast(tdf), "term_id", "left_semi")
+    else:
+        # small batches: isin literal keeps parquet min/max pushdown
+        posts = posts.where(F.col("term_id").isin(tids))
+    posts = posts.select("shard", "term_id", "postings", "bm_last", "bm_max")
     man = IndexManifest.load(index_dir)
     kernel = functools.partial(
         _score_shard, qplan=qplan, top_k=top_k, threshold=threshold, mode=mode,

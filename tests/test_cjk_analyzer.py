@@ -109,6 +109,27 @@ def test_japanese_build_and_wand_parity(spark, tmp_path):
     assert got == [tuple(r) for r in exp]
 
 
+def test_subword_stats_count_cjk_bigrams(spark, tmp_path):
+    """Engine.stats counts tokenizer-internal subword units — the analog of
+    the reference's ##-wordpiece count (sparse_indexer.py:192): CJK bigrams
+    on a v2 index, zero on a pure-ASCII v1 index."""
+    from light_splade_spark.engine import Engine
+
+    ja = spark.createDataFrame(JA_DOCS[:4], "doc_id BIGINT, text STRING")
+    eng = Engine.build(spark, ja, str(tmp_path / "s2"), n_shards=1,
+                       n_buckets=2, n_salts=1, n_shard_groups=1,
+                       analyzer=ANALYZER_V2_CJK)
+    s = eng.stats()
+    assert s["num_subword_tokens"] > 0
+    assert s["num_subword_tokens"] <= s["vocab_size"]
+
+    en = spark.createDataFrame([(0, "plain ascii words only")],
+                               "doc_id BIGINT, text STRING")
+    eng1 = Engine.build(spark, en, str(tmp_path / "s1"), n_shards=1,
+                        n_buckets=2, n_salts=1, n_shard_groups=1)
+    assert eng1.stats()["num_subword_tokens"] == 0
+
+
 def test_unknown_analyzer_version_refused(spark, tmp_path):
     from light_splade_spark.index.build import build_index
     from light_splade_spark.index.manifest import IndexManifest
