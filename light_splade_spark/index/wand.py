@@ -106,6 +106,12 @@ def _score_shard(
         bm_max = np.maximum.reduceat(ws, bstart).astype(np.float32)
         bm_last = docs[np.minimum(bstart + bs - 1, docs.size - 1)]
         decoded[tid] = (docs, ws, bm_last, bm_max)
+    if len(qplan) >= 64 and target_docs is None:
+        # large batches: per-query block-max pruning stops paying (the
+        # batch touches most postings anyway) while per-query concat+unique
+        # dominates. Switch to the shared-structure exact scorer: one
+        # local-index precompute per term, one scatter-add per (query,term).
+        return _taat_shared(decoded, qplan, top_k, threshold)
     out_q, out_d, out_s = [], [], []
     for qid, tlist in qplan.items():
         terms = [(qtf, *decoded[tid]) for tid, qtf in tlist if tid in decoded]
@@ -133,6 +139,56 @@ def _score_shard(
             docs, scores = docs[keep2], scores[keep2]
         out_q.extend([qid] * docs.size)
         out_d.extend(docs.tolist())
+        out_s.extend(scores.tolist())
+    return pd.DataFrame({"qid": out_q, "doc_id": out_d, "score": out_s})
+
+
+def _taat_shared(decoded, qplan, top_k: int, threshold: float) -> pd.DataFrame:
+    """Exact batch scorer with shared per-term structure (semantics
+    identical to _taat per query; exercised vs the per-query route in
+    tests/test_wand_kernel.py).
+
+    Per shard: map every decoded posting's doc id to a local dense index
+    ONCE per term (searchsorted against the union doc list), then each
+    query is a scatter-add into a reusable accumulator + a gather of its
+    touched slots — O(matched postings) per query with no per-query
+    concat/unique over raw ids. This is what makes 10^3-10^4-query batches
+    CPU-cheap; the per-query block-max path remains for interactive use."""
+    if not decoded:
+        return pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+    all_docs = np.unique(np.concatenate([d[0] for d in decoded.values()]))
+    local: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for tid, (docs, ws, _, _) in decoded.items():
+        local[tid] = (np.searchsorted(all_docs, docs),
+                      ws.astype(np.float64))
+    acc = np.zeros(all_docs.size, dtype=np.float64)
+    out_q, out_d, out_s = [], [], []
+    for qid, tlist in qplan.items():
+        idxs = []
+        for tid, qtf in tlist:
+            ent = local.get(tid)
+            if ent is None:
+                continue
+            idx, w = ent
+            acc[idx] += w * float(qtf)  # idx unique per term -> safe
+            idxs.append(idx)
+        if not idxs:
+            continue
+        touched = (np.unique(np.concatenate(idxs)) if len(idxs) > 1
+                   else idxs[0])
+        scores = acc[touched].copy()
+        acc[touched] = 0.0  # O(touched) reset, accumulator reused
+        docs_t = all_docs[touched]
+        keep = scores >= threshold - _GUARD
+        docs_t, scores = docs_t[keep], scores[keep]
+        k = top_k if top_k and top_k > 0 else docs_t.size
+        if docs_t.size > k:
+            r = np.round(scores, SCORE_DECIMALS)
+            kth = np.partition(r, r.size - k)[r.size - k]
+            keep2 = r >= kth
+            docs_t, scores = docs_t[keep2], scores[keep2]
+        out_q.extend([qid] * docs_t.size)
+        out_d.extend(docs_t.tolist())
         out_s.extend(scores.tolist())
     return pd.DataFrame({"qid": out_q, "doc_id": out_d, "score": out_s})
 

@@ -48,3 +48,26 @@ def test_bmw_topk_zero_means_exhaustive():
     d_t, s_t = _taat(terms)
     d_b, s_b = _bmw(terms, 0)
     assert dict(zip(d_b.tolist(), s_b.tolist())) == dict(zip(d_t.tolist(), s_t.tolist()))
+
+
+def test_batch_shared_scorer_matches_per_query_route(spark, tmp_path):
+    """Batches >=64 queries route through _taat_shared; results must be
+    identical (qid, rank, doc_id, score) to the per-query kernel."""
+    from light_splade_spark.index.build import build_index
+    from light_splade_spark.index.wand import wand_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    idx = str(tmp_path / "bidx")
+    build_index(spark, docs, idx, n_shards=4, n_buckets=4, n_salts=2,
+                n_shard_groups=1)
+    words = ["data", "search", "quality", "index", "model", "the", "learn",
+             "train", "text", "web"]
+    big = [(i, f"{words[i % 10]} {words[(i * 3) % 10]} {words[(i * 7) % 10]}")
+           for i in range(80)]
+    batch = {(r.qid, r.rank): (r.doc_id, r.score)
+             for r in wand_topk(spark, idx, big, top_k=5).collect()}
+    single = {}
+    for i in range(0, 80, 8):  # 8-query slices -> per-query BMW route
+        for r in wand_topk(spark, idx, big[i:i + 8], top_k=5).collect():
+            single[(r.qid, r.rank)] = (r.doc_id, r.score)
+    assert batch == single and len(batch) > 0
