@@ -148,9 +148,13 @@ def q_minhash_signatures(spark, sf_dir):
 
 def q_minhash_band_pairs(spark, sf_dir):
     """MinHash LSH candidate pairs over unigram shingles (token sets) —
-    identical token sets collide with certainty."""
+    identical token sets collide with certainty. max_bucket_size=None:
+    this is the oracle-parity query on a bounded corpus, and the DuckDB
+    mirror has no bucket cap — the production-safe capped default stays
+    for real pipelines (see operators/dedup.py)."""
     docs = _docs(spark, sf_dir)
-    return dedup.minhash_lsh_pairs(docs, k=8, band_size=4, shingle_n=1)
+    return dedup.minhash_lsh_pairs(docs, k=8, band_size=4, shingle_n=1,
+                                   max_bucket_size=None)
 
 
 def q_jaccard_pairs(spark, sf_dir):

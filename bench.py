@@ -161,16 +161,13 @@ def run_scaling(master: str, n_docs: int, shuffle_partitions: int = 64) -> dict:
         # 1000-query batch: the CPU-bound regime of the query stage (kernel
         # scoring work dominates decode + scheduling overhead)
         t_query1000, _ = _timed(lambda: _noop(wand_topk(
-            spark, idx_dir,
-            [(1000 + i, f"t{(7 * i) % 30000:05d} t{(13 * i) % 30000:05d} "
-                        f"t{(29 * i) % 30000:05d} t{(41 * i) % 30000:05d}")
-             for i in range(1000)],
-            top_k=10, mode="bmw")))
+            spark, idx_dir, _query_batch(1000), top_k=10, mode="bmw")))
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
-        if tmp_local:
-            shutil.rmtree(tmp_local, ignore_errors=True)
     spark.stop()
+    if tmp_local:
+        # only after stop(): Spark's shutdown still touches spark.local.dir
+        shutil.rmtree(tmp_local, ignore_errors=True)
     return {"build_sec": round(t_build, 2), "query_sec": round(t_query, 2),
             "query100_sec": round(t_query100, 2),
             "query1000_sec": round(t_query1000, 2),
@@ -246,7 +243,17 @@ def main() -> None:
         n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "800000"))
         wbits = int(os.environ.get("SPARK_GRAFT_WBITS", "8"))
         idx_dir = f"/tmp/lss_qscale_idx_{n_docs}_w{wbits}"
-        if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+
+        def _complete(d: str) -> bool:
+            try:
+                import json as _json
+                with open(os.path.join(d, "manifest.json")) as f:
+                    return _json.load(f).get("status") == "complete"
+            except OSError:
+                return False
+
+        if not _complete(idx_dir):
+            shutil.rmtree(idx_dir, ignore_errors=True)  # stale partial build
             spark = get_spark(app_name="lss-qscale-build", master="local[8]",
                               extra_conf={"spark.sql.shuffle.partitions": "64"})
             corpus_path = f"/tmp/lss_scaling_corpus_{n_docs}"

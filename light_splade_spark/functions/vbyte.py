@@ -9,7 +9,7 @@ phase-2 merge):
 
 deltas[0] = doc_ids[0] - base (base = -1 for a standalone run, or the previous
 run's last doc at merge time), deltas[i] = doc_ids[i] - doc_ids[i-1]; doc_ids
-strictly ascending so every delta >= 1 (>=0 allowed for base patch).
+strictly ascending and strictly > base, so every delta >= 1.
 
 VByte: classic 7-bit groups, little-endian, high bit set on the LAST byte of
 each value (the scheme used by Lucene's VInt, public knowledge).
@@ -131,10 +131,11 @@ def encode_run(doc_ids: np.ndarray, weights: np.ndarray, base: int = -1) -> byte
     n = doc_ids.size
     deltas = np.empty(n, dtype=np.uint64)
     if n:
-        if int(doc_ids[0]) < 0 or int(doc_ids[0]) < base:
+        if int(doc_ids[0]) < 0 or int(doc_ids[0]) <= base:
             raise ValueError(
-                f"doc ids must be non-negative and >= base={base}; "
-                f"got first id {int(doc_ids[0])}")
+                f"doc ids must be non-negative and > base={base}; "
+                f"got first id {int(doc_ids[0])} (equality would decode a "
+                "duplicate doc id after run concatenation)")
         d = np.diff(doc_ids)
         if d.size and int(d.min()) <= 0:
             raise ValueError("doc ids must be strictly ascending")

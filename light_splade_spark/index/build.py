@@ -142,6 +142,13 @@ def _encode_groups(pdf: pd.DataFrame, block_size: int,
         docs, ws, starts, ends, block_size)
     nb_off = np.concatenate(([0], np.cumsum(nb)))
     if weight_bits == 8:
+        if ws.size and float(ws.min()) < 0:
+            # quantization maps into [0, block_max]; a negative impact
+            # (possible only via weights_df) would be clipped to 0 silently
+            raise ValueError(
+                "weight_bits=8 requires non-negative impacts; got "
+                f"min weight {float(ws.min())} (impact-mode weights must "
+                "be >= 0, as SPLADE's log1p(relu(.)) guarantees)")
         # block-relative quantization: q = round(w / block_max * 255);
         # dequant q*scale/255 <= block_max, so the WAND bound stays valid
         scale_pos = np.repeat(bm_max_all, bend - bstart)
@@ -240,7 +247,8 @@ def _merge_groups(pdf: pd.DataFrame) -> pd.DataFrame:
 def build_dims(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                doc_stats_path: str | None = None, term_id_mode: str = "hash",
                analyzer: Analyzer = ANALYZER_V1,
-               expansion_path: str | None = None):
+               expansion_path: str | None = None,
+               compute_avgdl: bool = True):
     """-> (doc_terms_df, terms_df, scalars dict).
 
     One tokenize pass total: the (doc, term, tf) expansion is cached, and
@@ -296,8 +304,12 @@ def build_dims(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     if doc_stats_path is not None:
         dl_df.write.mode("overwrite").parquet(doc_stats_path)
         got = obs.get
-    else:
+    elif compute_avgdl:
         got = {"sum_dl": dl_df.agg(F.sum("dl")).collect()[0][0]}
+    else:
+        # resume path: avgdl comes from the manifest, don't pay a full
+        # expansion aggregation just to throw the result away
+        got = {"sum_dl": 0}
     scalars = {"n_docs": int(r0["n"]),
                "avgdl": int(got["sum_dl"] or 0) / int(r0["n"]),
                "max_doc": int(r0["max_doc"])}
@@ -420,6 +432,7 @@ def build_index(
             doc_stats_path=os.path.join(index_dir, "doc_stats") if man is None else None,
             analyzer=analyzer,
             expansion_path=expansion_path,
+            compute_avgdl=man is None,  # resume reads avgdl from manifest
         )
         scoring = "bm25"
     else:

@@ -296,6 +296,15 @@ def build_query_plan(
     if query_weights is not None:
         qmaps: list[tuple[int, dict[str, float]]] = [
             (qid, dict(m)) for qid, m in query_weights]
+        for qid, m in qmaps:
+            neg = [t for t, w in m.items() if w < 0]
+            if neg:
+                # block-max pruning bounds assume non-negative query
+                # weights (as SPLADE's log1p∘relu guarantees); a negative
+                # weight would silently void the _bmw upper bound
+                raise ValueError(
+                    f"query {qid} has negative weights for terms {neg[:3]}; "
+                    "query weights must be >= 0 (WAND bounds require it)")
     else:
         qmaps = [(qid, dict(Counter(ana.py_tokenize(text))))
                  for qid, text in queries]

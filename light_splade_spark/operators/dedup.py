@@ -282,7 +282,7 @@ def _min_star(e: DataFrame) -> DataFrame:
 
 
 def connected_components_star(pairs: DataFrame,
-                              max_iter: int = 20) -> tuple[DataFrame, int]:
+                              max_iter: int = 50) -> tuple[DataFrame, int]:
     """Alternating large-star/small-star CC (Kiveris et al., "Connected
     Components in MapReduce and Beyond", 2014 — public algorithm):
     O(log² n) rounds on ANY graph shape, vs O(diameter) for plain label
@@ -294,6 +294,7 @@ def connected_components_star(pairs: DataFrame,
                           F.col("doc_b").alias("dst"))).localCheckpoint()
     nodes = E.select(F.col("src").alias("node")).distinct().localCheckpoint()
     prev_sig = None
+    converged = False
     rounds = 0
     for rounds in range(1, max_iter + 1):
         # large-star: every strictly-larger neighbor hooks to the center min
@@ -311,8 +312,17 @@ def connected_components_star(pairs: DataFrame,
         sig = tuple(E.agg(F.count(F.lit(1)),
                           F.expr("bit_xor(xxhash64(src, dst))")).collect()[0])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # the final labeling below is only correct on the star-shaped
+        # fixpoint; returning intermediate labels would silently mislabel
+        raise RuntimeError(
+            f"connected_components_star did not reach the edge-set "
+            f"fixpoint in {max_iter} rounds; raise max_iter (rounds are "
+            "O(log^2 |component|) — this indicates an extraordinarily "
+            "large or adversarial component)")
     # converged graph is a union of stars: component = min(self, neighbors)
     labels = (
         nodes.join(E, nodes.node == E.src, "left")

@@ -89,6 +89,24 @@ def test_custom_encoder_weights_through_build_and_retrieve(spark, tmp_path):
         assert r2[d] == pytest.approx(r1[d] / 2.0, abs=1e-4)
 
 
+def test_negative_weights_rejected(spark, tmp_path):
+    """WAND's block-max bound assumes non-negative query weights; 8-bit
+    quantization assumes non-negative impacts — both must refuse loudly."""
+    docs = spark.createDataFrame(DOCS, "doc_id BIGINT, text STRING")
+    idx = str(tmp_path / "negq")
+    build_index(spark, docs, idx, n_shards=1, n_buckets=2, n_salts=1,
+                n_shard_groups=1)
+    with pytest.raises(ValueError, match="negative weights"):
+        wand_topk(spark, idx, query_weights=[(1, {"fox": -1.0, "dog": 2.0})],
+                  top_k=3)
+    neg_w = spark.createDataFrame([(0, "fox", -0.5), (1, "dog", 1.0)],
+                                  "doc_id BIGINT, term STRING, weight DOUBLE")
+    with pytest.raises(Exception, match="non-negative impacts"):
+        build_index(spark, docs, str(tmp_path / "negw"), n_shards=1,
+                    n_buckets=2, n_salts=1, n_shard_groups=1,
+                    weights_df=neg_w, weight_bits=8)
+
+
 def test_query_plan_arg_validation(spark, tmp_path):
     docs = spark.createDataFrame(DOCS, "doc_id BIGINT, text STRING")
     idx = str(tmp_path / "v_idx")
