@@ -32,6 +32,10 @@ def main() -> None:
     p.add_argument("--n-salts", type=int, default=8)
     p.add_argument("--n-shard-groups", type=int, default=4)
     p.add_argument("--run-size", type=int, default=1 << 16)
+    p.add_argument("--weight-bits", type=int, default=32, choices=[8, 32])
+    p.add_argument("--analyzer", default="ls-spark-1",
+                   help="analyzer version (ls-spark-1 ASCII; ls-spark-2 "
+                        "adds CJK character bigrams for Japanese corpora)")
     p.add_argument("--extract-html", action="store_true",
                    help="derive text from the html BINARY column and doc ids "
                         "from url (Common-Crawl-shaped input)")
@@ -40,7 +44,10 @@ def main() -> None:
     spark = SparkSession.builder.appName("lss-build-index").getOrCreate()
     from pyspark.sql import functions as F
 
-    from light_splade_spark.functions.analyzers import extract_text_udf
+    from light_splade_spark.functions.analyzers import (
+        extract_text_udf,
+        get_analyzer,
+    )
     from light_splade_spark.index.build import build_index
     from light_splade_spark.plans.stats import with_dense_id
 
@@ -55,7 +62,8 @@ def main() -> None:
         text_col=args.text_col, n_shards=args.n_shards,
         n_buckets=args.n_buckets, n_salts=args.n_salts,
         n_shard_groups=args.n_shard_groups, run_size=args.run_size,
-        resume=args.resume,
+        weight_bits=args.weight_bits, resume=args.resume,
+        analyzer=get_analyzer(args.analyzer),
     )
     print(json.dumps({"status": man.status, "n_docs": man.n_docs,
                       "avgdl": man.avgdl, "n_shards": man.n_shards,

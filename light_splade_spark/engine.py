@@ -59,26 +59,32 @@ class Engine:
 
     def retrieve(
         self,
-        queries: list[tuple[int, str]],
+        queries: list[tuple[int, str]] | None = None,
         target_doc_ids: list[int] | None = None,
         top_k: int = 10,
         threshold: float = 0.0,
         return_score: bool = True,
         mode: str = "bmw",
+        query_weights: list[tuple[int, dict[str, float]]] | None = None,
     ) -> DataFrame:
         """-> (qid, rank, doc_id[, score]).
 
         Reference semantics (``sparse_retriever.py:43-98``): ``top_k=0``
         returns every doc above threshold; ``target_doc_ids`` restricts
         scoring to a doc subset and is only legal with a single query.
+        ``query_weights`` = (qid, {term: weight}) pairs for impact-scored
+        retrieval (the encoder seam's query side — the reference's
+        query-CSR dot product with model weights).
         """
-        if target_doc_ids is not None and len(queries) > 1:
+        n_queries = len(queries if queries is not None else query_weights or [])
+        if target_doc_ids is not None and n_queries > 1:
             # mirrors the reference's assertion at sparse_retriever.py:69-72
             raise AssertionError(
                 "multi-queries with target_doc_ids is not supported")
         out = wand_topk(self.spark, self.index_dir, queries, top_k=top_k,
                         threshold=threshold, mode=mode,
-                        target_doc_ids=target_doc_ids)
+                        target_doc_ids=target_doc_ids,
+                        query_weights=query_weights)
         if not return_score:
             out = out.drop("score")
         return out
