@@ -83,6 +83,7 @@ def q_wand_topk(spark, sf_dir):
     import hashlib
 
     from light_splade_spark.index.build import INDEX_FORMAT_VERSION, build_index
+    from light_splade_spark.index.manifest import CorruptIndexError
     from light_splade_spark.index.wand import wand_topk
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
@@ -92,10 +93,11 @@ def q_wand_topk(spark, sf_dir):
                     n_salts=4, n_shard_groups=2)
     try:
         return wand_topk(spark, idx, QUERIES, top_k=TOP_K, mode="bmw")
-    except (OSError, ValueError, TypeError, KeyError):
-        # corrupt-cache cases only (missing/partial manifest or files,
-        # analyzer-version mismatch, stale manifest schema): rebuild once.
-        # Genuine kernel bugs raise other types and surface loudly.
+    except (OSError, CorruptIndexError):
+        # corrupt-cache cases only (missing/partial files, or a manifest
+        # this engine's schema can't parse): rebuild once. Validation and
+        # kernel bugs raise ValueError/TypeError/KeyError and surface
+        # loudly instead of triggering a silent multi-minute rebuild.
         import shutil
         shutil.rmtree(idx, ignore_errors=True)
         build_index(spark, _docs(spark, sf_dir), idx, n_shards=8, n_buckets=16,

@@ -32,7 +32,6 @@ Spark-first design (NOT a port of ``sparse_indexer.py``'s csr vstack):
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 
@@ -309,9 +308,13 @@ def build_dims(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     else:
         # resume path: avgdl comes from the manifest, don't pay a full
         # expansion aggregation just to throw the result away
-        got = {"sum_dl": 0}
+        got = {"sum_dl": None}
     scalars = {"n_docs": int(r0["n"]),
-               "avgdl": int(got["sum_dl"] or 0) / int(r0["n"]),
+               # None (not 0) when not computed: a caller accidentally
+               # scoring with this placeholder fails loudly, not silently
+               "avgdl": (int(got["sum_dl"] or 0) / int(r0["n"])
+                         if (doc_stats_path is not None or compute_avgdl)
+                         else None),
                "max_doc": int(r0["max_doc"])}
     terms = (dt.groupBy("term")
              .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
@@ -498,8 +501,12 @@ def build_index(
     )
 
     shards_per_group = (n_shards + n_shard_groups - 1) // n_shard_groups
-    phase1 = functools.partial(_encode_groups, block_size=block_size,
-                               weight_bits=man.weight_bits)
+    wb = man.weight_bits
+
+    # named function, not functools.partial: applyInPandas warns ("cannot
+    # infer eval type") on partials, polluting every build log
+    def phase1(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _encode_groups(pdf, block_size=block_size, weight_bits=wb)
     for group in range(n_shard_groups):
         if group in man.completed_groups:
             continue

@@ -26,6 +26,15 @@ import time
 from dataclasses import asdict, dataclass, field
 
 
+class CorruptIndexError(Exception):
+    """The on-disk index state is unreadable or structurally stale: manifest
+    JSON undecodable, or its fields no longer match this engine's
+    IndexManifest schema (an old-format cache directory). Callers that keep
+    a rebuildable index cache catch exactly this (plus OSError for
+    missing/partial files) — never broad builtin exception types, which
+    would silently mask genuine kernel/validation bugs behind a rebuild."""
+
+
 @dataclass
 class IndexManifest:
     analyzer_version: str
@@ -56,7 +65,19 @@ class IndexManifest:
     @classmethod
     def load(cls, index_dir: str) -> "IndexManifest":
         with open(os.path.join(index_dir, "manifest.json")) as f:
-            return cls(**json.load(f))
+            try:
+                payload = json.load(f)
+            except json.JSONDecodeError as e:
+                raise CorruptIndexError(
+                    f"manifest.json in {index_dir} is not valid JSON: {e}"
+                ) from e
+        try:
+            return cls(**payload)
+        except TypeError as e:
+            # field mismatch = manifest written by a different engine version
+            raise CorruptIndexError(
+                f"manifest.json in {index_dir} does not match this engine's "
+                f"manifest schema ({e}); rebuild the index") from e
 
 
 def write_lineage(index_dir: str, group: int, rows: list[dict]) -> None:

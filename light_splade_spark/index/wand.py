@@ -29,7 +29,6 @@ plans/bm25_sql.py.
 
 from __future__ import annotations
 
-import functools
 import heapq
 from collections import Counter
 
@@ -378,11 +377,17 @@ def wand_topk(
         posts = posts.where(F.col("term_id").isin(tids))
     posts = posts.select("shard", "term_id", "postings", "bm_last", "bm_max")
     man = IndexManifest.load(index_dir)
-    kernel = functools.partial(
-        _score_shard, qplan=qplan, top_k=top_k, threshold=threshold, mode=mode,
-        target_docs=target, weight_bits=man.weight_bits,
-        block_size=man.block_size,
-    )
+    wb, bs = man.weight_bits, man.block_size
+
+    # a NAMED function (not functools.partial): applyInPandas infers the
+    # eval type from the callable and warns on partials — noise in every
+    # driver log at scale
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_shard(pdf, qplan=qplan, top_k=top_k,
+                            threshold=threshold, mode=mode,
+                            target_docs=target, weight_bits=wb,
+                            block_size=bs)
+
     shard_hits = posts.groupBy("shard").applyInPandas(
         kernel, "qid BIGINT, doc_id BIGINT, score DOUBLE"
     )

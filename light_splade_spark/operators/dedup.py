@@ -104,6 +104,11 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     oversized buckets to exact-hash grouping (`exact_duplicates`) or to
     clustering on the keeper instead. Pass ``None`` to explicitly opt out
     (exact candidate recall on bounded corpora).
+
+    BEHAVIOR CHANGE (round 2): the default went from None to 1000. Callers
+    on corpora where any band bucket exceeds 1000 docs silently lose the
+    pairs inside those mega-buckets relative to the uncapped measure; pass
+    ``max_bucket_size=None`` explicitly to match an uncapped oracle.
     """
     sig = minhash_signature(docs, id_col, text_col, k, shingle_n)
     n_bands = k // band_size
@@ -154,23 +159,34 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
       ~every doc contributes df² join rows while carrying ~zero signal.
       Shingles above the cap are dropped from BOTH intersection and sizes
       (one extra map-side-combined groupBy), i.e. jaccard over informative
-      shingles — the standard stop-shingle move. Pass ``None`` for the exact
-      all-shingles measure on bounded corpora.
+      shingles — the standard stop-shingle move. df is measured over the
+      FULL corpus (before any ``candidates`` restriction), so a given pair's
+      jaccard value never depends on which candidate set requested it.
+      Pass ``None`` for the exact all-shingles measure on bounded corpora.
+
+    BEHAVIOR CHANGE (round 2): ``max_shingle_df`` default went from None to
+    1000 — safe-by-default at scale. On corpora where some shingle's corpus
+    df exceeds 1000, results differ from the uncapped measure (hot shingles
+    no longer counted); pass ``max_shingle_df=None`` explicitly to match an
+    uncapped oracle.
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(text_col, n)).alias("sh"),
     )
+    if max_shingle_df is not None:
+        # corpus-level df, computed BEFORE the candidate restriction: the
+        # stop-shingle set is a property of the corpus, not of the caller's
+        # candidate list (one extra linear map-side-combined pass)
+        sh_df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+        keep_sh = sh_df.where(F.col("_df") <= max_shingle_df).select("sh")
+        sh = sh.join(keep_sh, "sh", "left_semi")
     if candidates is not None:
         cand_docs = (candidates.select(F.col("doc_a").alias("doc_id"))
                      .unionByName(candidates.select(F.col("doc_b")
                                                     .alias("doc_id")))
                      .distinct())
         sh = sh.join(cand_docs, "doc_id", "left_semi")
-    if max_shingle_df is not None:
-        sh_df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
-        keep_sh = sh_df.where(F.col("_df") <= max_shingle_df).select("sh")
-        sh = sh.join(keep_sh, "sh", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

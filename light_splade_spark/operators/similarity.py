@@ -164,17 +164,31 @@ def kmeans_centroids(
     sample_size: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 42,
 ) -> np.ndarray:
     """Deterministic spherical k-means coarse quantizer (float64).
 
-    Sample = the ``sample_size`` lowest-id vectors (a TakeOrdered, not a full
-    sort — bounded driver memory at any corpus size); init = the first
-    ``n_centroids`` of the sample; a FIXED number of Lloyd iterations on
-    L2-normalized vectors (cosine k-means). No randomness anywhere, so two
-    builds produce bit-identical centroids — the property the determinism
-    tests and any downstream oracle rely on."""
-    rows = (emb.select(id_col, vec_col).orderBy(id_col)
+    Sample = the ``sample_size`` vectors with the smallest
+    ``xxhash64(id, seed)`` — a TakeOrdered on a seeded hash, so the sample
+    is (a) deterministic and bounded in driver memory at any corpus size,
+    and (b) UNBIASED w.r.t. id order (crawl ids correlate with time/source;
+    the round-2 lowest-id sample saw one corner of the distribution).
+    Init = the first ``n_centroids`` of the hash-ordered sample; a FIXED
+    number of Lloyd iterations on L2-normalized vectors (cosine k-means).
+    No randomness anywhere, so two builds produce bit-identical centroids.
+
+    Raises when the corpus has fewer than ``n_centroids`` vectors — fewer
+    centroids than requested would silently change probe semantics
+    downstream. Duplicate vectors in the init slice can still yield
+    duplicate centroids (empty lists simply attract no members)."""
+    rows = (emb.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
             .limit(sample_size).collect())
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"kmeans_centroids: corpus/sample has {len(rows)} vectors but "
+            f"n_centroids={n_centroids}; reduce n_centroids (silently "
+            "returning fewer centroids would change probe semantics)")
     X = np.asarray([r[1] for r in rows], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     C = Xn[:n_centroids].copy()
@@ -238,15 +252,23 @@ def ivf_topk(
 
     ``centroids='head'``: the first ``n_centroids`` corpus vectors — a
     deterministic stand-in that DuckDB can mirror row-for-row (the
-    correctness-gate configuration). ``centroids='kmeans'``: sampled
-    deterministic Lloyd (kmeans_centroids) — the quality path; verified by
-    pytest recall/determinism tests instead of SQL."""
+    correctness-gate configuration; NOTE its oracle assumes dense 0-based
+    ids, i.e. ``vec_id < n_centroids`` selects exactly the orderBy-limit
+    head). ``centroids='kmeans'``: sampled deterministic Lloyd
+    (kmeans_centroids) — the quality path; verified by pytest
+    recall/determinism tests instead of SQL. Raises if the corpus has fewer
+    than ``n_centroids`` vectors (head mode too — silently fewer lists
+    would change probe semantics)."""
     import pandas as _pd  # noqa: F401  (pandas_udf needs pandas importable)
     from pyspark.sql import Window
 
     if centroids == "head":
         rows = (emb.select(id_col, vec_col).orderBy(id_col)
                 .limit(n_centroids).collect())
+        if len(rows) < n_centroids:
+            raise ValueError(
+                f"ivf_topk: corpus has {len(rows)} vectors but "
+                f"n_centroids={n_centroids}")
         C = np.asarray([r[1] for r in rows], dtype=np.float64)
         cids = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
     elif centroids == "kmeans":
