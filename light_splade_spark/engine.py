@@ -105,11 +105,12 @@ class Engine:
         avg nonzero per doc, sparsity vs vocab, top-N terms by df ratio,
         subword-token count — computed from the dims, no postings decode.
 
-        ``num_subword_tokens`` is the analog of the reference's
-        ``##``-prefixed wordpiece count (``sparse_indexer.py:192``): our
-        deterministic analyzers have no wordpiece marker, so the
-        tokenizer-internal unit counted is the CJK character bigram the v2
-        analyzer emits (0 on a pure-ASCII v1 index, by construction)."""
+        ``num_subword_tokens`` counts the reference's ``##``-prefixed
+        wordpiece continuations (``sparse_indexer.py:192``) — real on a
+        wordpiece-v3 index (functions/wordpiece.py). The deterministic v1/v2
+        analyzers have no ``##`` marker, so for them the tokenizer-internal
+        unit counted is the CJK character bigram the v2 analyzer emits
+        (0 on a pure-ASCII v1 index, by construction)."""
         from light_splade_spark.functions.analyzers import CJK_RANGE
 
         n = self.manifest.n_docs
@@ -117,7 +118,9 @@ class Engine:
         row = t.agg(
             F.count(F.lit(1)).alias("vocab"),
             F.sum("df").alias("s"),
-            F.count(F.when(F.col("term").rlike(f"^[{CJK_RANGE}]"), 1))
+            F.count(F.when(
+                F.col("term").startswith("##")
+                | F.col("term").rlike(f"^[{CJK_RANGE}]"), 1))
             .alias("subword"),
         ).collect()[0]
         vocab, tot, n_subword = row["vocab"], row["s"], row["subword"]

@@ -149,6 +149,9 @@ class Analyzer:
     spark_tokens: Callable[..., Column] = field(repr=False, default=None)
     py_tokenize: Callable[[str], list[str]] = field(repr=False, default=None)
     duckdb_tokens: Callable[[str], str] = field(repr=False, default=None)
+    # vocab-driven analyzers (functions/wordpiece.py) carry their vocab so
+    # build_index can persist it inside the index dir (self-contained index)
+    vocab: tuple[str, ...] | None = field(repr=False, default=None)
 
 
 ANALYZER_V1 = Analyzer("ls-spark-1", tokens_col, py_tokenize, tokens_sql_v1)
@@ -171,6 +174,19 @@ def get_analyzer(version: str) -> Analyzer:
             f"engine knows {sorted(ANALYZERS)} — upgrade the engine or "
             "rebuild the index (tokenization must be identical on both "
             "sides)") from None
+
+
+def resolve_analyzer(version: str, index_dir: str | None = None) -> Analyzer:
+    """get_analyzer, plus the vocab-analyzer fallback: a wordpiece version
+    (``ls-spark-wp3-*``) not yet registered in this process is reconstructed
+    from the vocab file persisted inside ``index_dir`` — so any process can
+    query any index with nothing but the index directory."""
+    if version not in ANALYZERS and index_dir is not None:
+        from light_splade_spark.functions.wordpiece import load_vocab_analyzer
+        ana = load_vocab_analyzer(index_dir, version)
+        if ana is not None:
+            return ana
+    return get_analyzer(version)
 
 
 @pandas_udf(StringType())
@@ -253,9 +269,18 @@ def splade_expansion(docs: DataFrame, id_col: str = "doc_id",
         def encode_udf(texts: pd.Series) -> pd.Series:
             return encoder(texts)
 
+        # length-sorted batching (reference ``data/base.py`` sorts examples
+        # by length before batching, SURVEY T3): a transformer encoder pads
+        # each batch to its longest text, so Arrow batches of similar-length
+        # texts waste the least padded compute. sortWithinPartitions — a
+        # per-partition sort below the Python node, NO shuffle — is exactly
+        # that batching order; results are row-order-independent downstream
+        # (explode + per-doc rows).
         return (
             docs.select(F.col(id_col).alias("doc_id"),
-                        encode_udf(F.col(text_col)).alias("m"))
+                        F.col(text_col).alias("_t"))
+            .sortWithinPartitions(F.length("_t"))
+            .select("doc_id", encode_udf(F.col("_t")).alias("m"))
             .select("doc_id", F.explode("m").alias("term", "w"))
             .select("doc_id", "term", F.round("w", 4).alias("weight"))
             .where(F.col("weight") > 0)

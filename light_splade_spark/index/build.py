@@ -44,7 +44,7 @@ from light_splade_spark.functions.analyzers import (
     ANALYZER_V1,
     Analyzer,
     doc_terms,
-    get_analyzer,
+    resolve_analyzer,
 )
 from light_splade_spark.functions.vbyte import (
     _write_varint_scalar,
@@ -420,7 +420,9 @@ def build_index(
         man = IndexManifest.load(index_dir)
         if man.status == "complete":
             return man
-        analyzer = get_analyzer(man.analyzer_version)
+        # resolve_analyzer: also reconstructs a vocab-driven (wordpiece)
+        # analyzer from the vocab file persisted in the index dir
+        analyzer = resolve_analyzer(man.analyzer_version, index_dir)
         if (man.scoring == "impact") != (weights_df is not None):
             raise ValueError(
                 f"resume scoring mismatch: manifest says {man.scoring!r} "
@@ -461,6 +463,12 @@ def build_index(
         terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
         _tr("terms_written")
         man.save(index_dir)
+        if getattr(analyzer, "vocab", None):
+            # vocab-driven (wordpiece) analyzer: persist the vocab inside
+            # the index so any process can resolve the tokenizer from the
+            # index dir alone (functions/wordpiece.py)
+            from light_splade_spark.functions.wordpiece import save_vocab
+            save_vocab(index_dir, analyzer)
     n_shards = man.n_shards
 
     terms_b = F.broadcast(

@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from light_splade_spark.functions.analyzers import get_analyzer
+from light_splade_spark.functions.analyzers import resolve_analyzer
 from light_splade_spark.functions.vbyte import decode_run
 from light_splade_spark.index.build import read_postings, read_terms
 from light_splade_spark.index.manifest import IndexManifest
@@ -291,7 +291,7 @@ def build_query_plan(
     man = IndexManifest.load(index_dir)
     # resolve the analyzer the index was built with (raises on unknown
     # versions — tokenization must be identical on both sides)
-    ana = get_analyzer(man.analyzer_version)
+    ana = resolve_analyzer(man.analyzer_version, index_dir)
     if query_weights is not None:
         qmaps: list[tuple[int, dict[str, float]]] = [
             (qid, dict(m)) for qid, m in query_weights]
@@ -355,9 +355,10 @@ def wand_topk(
     Sizing note: the query plan (qid -> [(term_id, qtf)]) is shipped inside
     the kernel closure, so this path is for *interactive/batch* query sets up
     to ~10^5 queries. For corpus-scale query workloads (mining millions of
-    queries against the index) use plans/bm25_sql.score_bm25 — the same
-    semantics expressed as a join, which shuffles instead of broadcasting
-    and scales with the cluster."""
+    queries against the index) use index/join_scorer.score_index_join — the
+    same semantics (rank-identical, asserted in tests/test_join_scorer.py)
+    expressed as a shuffle join over the decoded index, which scales with
+    the cluster instead of the driver."""
     qplan, tids, buckets = build_query_plan(spark, index_dir, queries,
                                             query_weights)
     target = (np.unique(np.asarray(target_doc_ids, dtype=np.int64))

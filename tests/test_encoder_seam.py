@@ -117,3 +117,22 @@ def test_query_plan_arg_validation(spark, tmp_path):
                   query_weights=[(1, {"fox": 1.0})])
     with pytest.raises(ValueError, match="exactly one"):
         wand_topk(spark, idx)
+
+
+def test_length_sorted_batching_in_plan(spark):
+    """T3: the encoder stage sorts each partition by text length BELOW the
+    Python eval node (no shuffle — a SortExec without an exchange directly
+    feeding the Arrow UDF), so transformer batches pad minimally."""
+    docs = spark.createDataFrame(DOCS, "doc_id BIGINT, text STRING")
+    exp = splade_expansion(docs, encoder=make_toy_encoder())
+    plan = exp._jdf.queryExecution().executedPlan().toString()
+    i_eval = plan.find("ArrowEvalPython")
+    i_sort = plan.find("Sort [length(")
+    assert i_eval != -1 and i_sort != -1, plan
+    # the sort appears below (after, in tree print order) the Python node
+    assert i_sort > i_eval, plan
+    # and it is partition-local: no exchange between sort and the scan
+    assert "Exchange" not in plan[i_eval:], plan
+    # results are unchanged by the ordering
+    got = {(r.doc_id, r.term): r.weight for r in exp.collect()}
+    assert got[(2, "fox")] == pytest.approx(1.3)

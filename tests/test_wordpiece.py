@@ -1,0 +1,177 @@
+"""WordPiece analyzer v3: greedy longest-match parity, build->WAND flow,
+index self-containment, ##-token stats.
+
+Reference behaviors being matched: HF subword tokenization feeding the
+sparse encoder (``models/splade.py:237-245``, ``data/base.py:67-76``) and
+the indexer's ``##``-piece count (``sparse_indexer.py:192``).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from light_splade_spark.functions.analyzers import ANALYZERS
+from light_splade_spark.functions.wordpiece import (
+    SINGLE_CHAR_VOCAB,
+    UNK,
+    make_wordpiece_analyzer,
+    vocab_version,
+    wordpiece_word,
+)
+
+# a ##-continuation vocab fixture: full single-char closure (no UNK on
+# alnum text) + multi-char pieces that exercise greedy LONGEST match
+FIXTURE_VOCAB = tuple(SINGLE_CHAR_VOCAB) + (
+    "spark", "shuffle", "join", "##ing", "##er", "##s", "un", "##affable",
+    "the", "##the", "data", "##data", "ハ", "##ハ", "ナ", "##ナ",
+)
+
+
+@pytest.fixture(scope="module")
+def wp():
+    return make_wordpiece_analyzer(FIXTURE_VOCAB)
+
+
+def test_greedy_longest_match_cases(wp):
+    v = frozenset(FIXTURE_VOCAB)
+    # classic HF doc example shape: un + ##affable
+    assert wordpiece_word("unaffable", v) == ["un", "##affable"]
+    # longest match wins over char-by-char
+    assert wp.py_tokenize("sparks") == ["spark", "##s"]
+    assert wp.py_tokenize("joining") == ["join", "##ing"]
+    # falls back to chars where no long piece exists
+    assert wp.py_tokenize("ab") == ["a", "##b"]
+    # whole word -> [UNK] when a position can't match (no vocab for 'ハ'
+    # missing case: use a char outside the vocab)
+    assert wordpiece_word("abc", frozenset({"a", "##b"})) == [UNK]
+    # overlong word -> [UNK] outright
+    assert wordpiece_word("x" * 100, v) == [UNK]
+    # CJK chars are split per character before wordpiece
+    assert wp.py_tokenize("ハナ") == ["ハ", "ナ"]
+    # document order of basic tokens is preserved
+    assert wp.py_tokenize("the spark!! data") == ["the", "spark", "data"]
+
+
+def test_version_pins_vocab(wp):
+    assert wp.version == vocab_version(FIXTURE_VOCAB)
+    other = make_wordpiece_analyzer(FIXTURE_VOCAB[:-1], register=False)
+    assert other.version != wp.version
+    assert wp.version in ANALYZERS
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcdefg01 ハナかタ-_.", max_size=40))
+def test_py_vs_wordpiece_word_reconstruction(text):
+    """Every non-UNK tokenization concatenates back to the basic tokens."""
+    from light_splade_spark.functions.wordpiece import basic_tokens
+
+    wp = make_wordpiece_analyzer(FIXTURE_VOCAB, register=False)
+    toks = wp.py_tokenize(text)
+    # reconstruct: strip ## and re-split at non-continuation boundaries
+    words = []
+    for t in toks:
+        if t == UNK:
+            words.append(None)
+        elif t.startswith("##"):
+            assert words, "continuation piece cannot start a word"
+            if words[-1] is not None:
+                words[-1] += t[2:]
+        else:
+            words.append(t)
+    basics = basic_tokens(text)
+    assert len(words) == len(basics)
+    for got, want in zip(words, basics):
+        assert got is None or got == want
+
+
+def test_spark_udf_matches_python_mirror(spark, wp):
+    texts = [
+        "sparks joining the data shuffle",
+        "unaffable persons persevere",
+        "ハナ ハ xyz 123",
+        "", "!!!", "the the the",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id BIGINT, text STRING")
+    got = {r.doc_id: list(r.toks) for r in
+           df.select("doc_id",
+                     wp.spark_tokens("text").alias("toks")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == wp.py_tokenize(t), t
+    # max_chars mirrors the reference's pre-tokenize char budget
+    got8 = df.select("doc_id", wp.spark_tokens("text", 8).alias("toks")) \
+        .collect()
+    for r in got8:
+        assert list(r.toks) == wp.py_tokenize(texts[r.doc_id][:8])
+
+
+def test_wordpiece_build_to_wand_rank_identity(spark, tmp_path, wp):
+    """The ##-vocab flows build -> WAND rank-identically to the exact SQL
+    path using the same analyzer (the v3 'Done' criterion)."""
+    from light_splade_spark.index.build import build_index
+    from light_splade_spark.index.wand import wand_topk
+    from light_splade_spark.plans.bm25_sql import bm25_topk_docs
+
+    docs = spark.createDataFrame([
+        (0, "sparks joining the data"),
+        (1, "spark shuffle shuffler"),
+        (2, "unaffable data keeper"),
+        (3, "the thespian sparked"),
+        (4, "joined sparks everywhere"),
+    ], "doc_id BIGINT, text STRING")
+    idx = str(tmp_path / "wp_idx")
+    man = build_index(spark, docs, idx, n_shards=2, n_buckets=4, n_salts=2,
+                      n_shard_groups=1, analyzer=wp)
+    assert man.analyzer_version == wp.version
+    queries = [(0, "spark data"), (1, "joining sparks"), (2, "unaffable")]
+    wand = sorted((r.qid, r.rank, r.doc_id, r.score) for r in
+                  wand_topk(spark, idx, queries, top_k=5).collect())
+    sql = sorted((r.qid, r.rank, r.doc_id, r.score) for r in
+                 bm25_topk_docs(docs, queries, top_k=5,
+                                analyzer=wp).collect())
+    assert wand == sql and len(wand) > 0
+
+    # Engine.stats counts real ##-continuation pieces (sparse_indexer.py:192)
+    from light_splade_spark.engine import Engine
+    stats = Engine.open(spark, idx).stats()
+    assert stats["num_subword_tokens"] > 0
+
+
+def test_index_self_containment(spark, tmp_path, wp):
+    """A process that never constructed the analyzer resolves it from the
+    vocab file persisted inside the index dir (simulated by unregistering)."""
+    import os
+
+    from light_splade_spark.index.build import build_index
+    from light_splade_spark.index.wand import wand_topk
+
+    docs = spark.createDataFrame(
+        [(0, "spark data"), (1, "data shuffle")], "doc_id BIGINT, text STRING")
+    idx = str(tmp_path / "sc_idx")
+    build_index(spark, docs, idx, n_shards=1, n_buckets=2, n_salts=1,
+                n_shard_groups=1, analyzer=wp)
+    assert os.path.exists(os.path.join(idx, "analyzer_vocab.json"))
+    ANALYZERS.pop(wp.version, None)
+    try:
+        res = wand_topk(spark, idx, [(0, "spark")], top_k=3).collect()
+        assert len(res) == 1 and res[0].doc_id == 0
+        # resolution re-registered it
+        assert wp.version in ANALYZERS
+    finally:
+        ANALYZERS[wp.version] = wp
+
+    # a tampered vocab file is refused, not silently accepted
+    import json
+    with open(os.path.join(idx, "analyzer_vocab.json")) as f:
+        payload = json.load(f)
+    payload["vocab"] = payload["vocab"][:-1]
+    with open(os.path.join(idx, "analyzer_vocab.json"), "w") as f:
+        json.dump(payload, f)
+    ANALYZERS.pop(wp.version, None)
+    try:
+        with pytest.raises(ValueError, match="does not match the index"):
+            wand_topk(spark, idx, [(0, "spark")], top_k=3)
+    finally:
+        ANALYZERS[wp.version] = wp
