@@ -43,7 +43,6 @@ from pyspark.sql import functions as F
 from light_splade_spark.functions.analyzers import (
     ANALYZER_V1,
     Analyzer,
-    doc_terms,
     resolve_analyzer,
 )
 from light_splade_spark.functions.vbyte import (
@@ -243,6 +242,71 @@ def _merge_groups(pdf: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def per_doc_expansion(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      analyzer: Analyzer = ANALYZER_V1) -> DataFrame:
+    """(doc_id, dl, pairs ARRAY<STRUCT<term,tf>>) — per-doc term frequencies
+    with ZERO shuffle.
+
+    Every token of a document lives in its own row, so TF is a row-local
+    computation: sort the token array, run-length-encode it with
+    higher-order functions (filter/zip_with over element positions) — all
+    inside whole-stage codegen. This replaces the explode + corpus-wide
+    groupBy(doc_id, term) hash aggregation, whose exchange shuffled one row
+    per distinct (doc, term) (~45M rows at 800k docs) and was the largest
+    non-posting shuffle in the build. Zero/NULL-token docs keep a row with
+    dl=0 and empty pairs (they count toward N and avgdl).
+
+    Each heavy intermediate (token array, SORTED array, start positions)
+    is materialized as a column in its own projection before any lambda
+    references it — two reasons: a UDF-based analyzer (the wordpiece pandas
+    UDF) may not appear inside higher-order-function lambdas at all, and an
+    expression (rather than an attribute) referenced inside a lambda is
+    re-evaluated PER ELEMENT — an inlined array_sort inside element_at
+    turns O(dl log dl) into O(dl² log dl) per doc. CollapseProject keeps
+    the stages separate because the aliased arrays are non-cheap and
+    multiply referenced (asserted in tests/test_index_build.py)."""
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(analyzer.spark_tokens(text_col),
+                   F.array().cast("array<string>")).alias("_toks"),
+    )
+    srt = toked.select(
+        "doc_id",
+        F.size("_toks").alias("dl"),
+        F.array_sort("_toks").alias("_st"),
+    )
+    t = F.col("_st")
+    n = F.col("dl")
+    idxs = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+        .otherwise(F.array().cast("array<int>"))
+    started = srt.select(
+        "doc_id", "dl", "_st",
+        F.filter(idxs, lambda i: (i == F.lit(1))
+                 | (F.element_at(t, i) != F.element_at(t, i - 1)))
+        .alias("_starts"),
+    )
+    starts = F.col("_starts")
+    nexts = F.concat(F.slice(starts, F.lit(2), F.size(starts)),
+                     F.array(n + 1))
+    pair_t = "array<struct<term:string,tf:bigint>>"
+    pairs = F.when(n >= 1, F.zip_with(
+        starts, nexts,
+        lambda s, e: F.struct(F.element_at(t, s).alias("term"),
+                              (e - s).cast("bigint").alias("tf")))) \
+        .otherwise(F.array().cast(pair_t))
+    return started.select("doc_id", "dl", pairs.alias("pairs"))
+
+
+def _explode_expansion(per_doc: DataFrame) -> DataFrame:
+    """Nested per-doc expansion -> (doc_id, dl, term, tf) rows (the shape
+    the posting build and terms dim consume); zero-token docs drop out here
+    exactly as the old explode+groupBy shape dropped them."""
+    return (per_doc.select("doc_id", "dl", F.explode("pairs").alias("p"))
+            .select("doc_id", "dl", F.col("p.term").alias("term"),
+                    F.col("p.tf").alias("tf")))
+
+
 def build_dims(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                doc_stats_path: str | None = None, term_id_mode: str = "hash",
                analyzer: Analyzer = ANALYZER_V1,
@@ -250,65 +314,51 @@ def build_dims(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                compute_avgdl: bool = True):
     """-> (doc_terms_df, terms_df, scalars dict).
 
-    One tokenize pass total: the (doc, term, tf) expansion is cached, and
-    per-doc lengths come from it (groupBy doc_id) — the write of that dl
-    table both persists doc_stats AND materializes the expansion cache,
-    with Σdl piggybacked via ``DataFrame.observe``. Corpus-wide N/max_doc
-    come from a separate column-pruned count scan (no tokenize), so
-    zero-token docs still count toward N and avgdl = Σdl / N exactly as the
-    scoring paths and oracles define them. (Previously doc_stats re-tokenized
-    the whole corpus — a second full bandwidth-bound pass.)
+    One tokenize pass, ZERO wide shuffles: the per-doc expansion is computed
+    row-locally (per_doc_expansion — sorted run-length encode, no
+    explode+groupBy exchange) and materialized nested as
+    (doc_id, dl, pairs) parquet, which is also ~30% smaller than the flat
+    (doc, term, tf, dl) rows (doc_id/dl not repeated per term). Σdl rides
+    the write via ``DataFrame.observe``; doc_stats is a column-pruned
+    projection of the same file (no join — zero-token docs already have
+    their dl=0 rows); N/max_doc come from a separate column-pruned count
+    scan. The only aggregation left is the vocab-sized terms dim (map-side
+    combined to ~|V| rows). The build's one heavy shuffle is then the
+    posting-phase (shard, bucket, salt) groupBy itself.
 
     term_id_mode='hash' (default): term_id = xxhash64(term) — deterministic
     and pass-free; collision odds ~V^2/2^65 (negligible below 10^8 distinct
     terms, detectable via groupBy(term_id) where a deployment cares).
     'dense': df-descending consecutive ids via the scalable Arrow
     zipWithIndex in plans.stats (two extra lightweight jobs).
-
-    NOTE (scale trade-off, see DESIGN.md): the (doc, term) pair agg carries
-    term strings. A variant that hashes terms pre-shuffle (strings then only
-    cross the wire in a vocab-sized map-side-combined agg) costs one extra
-    tokenize pass; on a network-shuffle cluster at PB scale that trade wins,
-    on this single-node sandbox the extra scan loses (~+25% wall), so the
-    two-pass shape ships as default.
     """
     from pyspark.sql import Observation
 
-    dt = doc_terms(docs, id_col, text_col, analyzer=analyzer)
+    per_doc = per_doc_expansion(docs, id_col, text_col, analyzer)
+    got = {"sum_dl": None}
     if expansion_path is not None:
-        # materialize the expansion as a parquet intermediate (SURVEY S11)
-        # instead of a memory cache: measured 23% faster at 800k docs on
-        # tmpfs (Spark's columnar cache serialization costs more than a
-        # snappy parquet roundtrip), and it is the only shape that exists
-        # at 10^12 docs — a corpus-sized expansion never fits storage
-        # memory, while a parquet intermediate spills to the shuffle tier.
-        dt.write.mode("overwrite").parquet(expansion_path)
-        dt = docs.sparkSession.read.parquet(expansion_path)
+        # materialize as a parquet intermediate (SURVEY S11), the only
+        # shape that exists at 10^12 docs — a corpus-sized expansion never
+        # fits storage memory, while parquet spills to the scratch tier
+        obs = Observation("corpus_scalars")
+        per_doc.observe(obs, F.sum("dl").alias("sum_dl")) \
+            .write.mode("overwrite").parquet(expansion_path)
+        got = obs.get
+        per_doc = docs.sparkSession.read.parquet(expansion_path)
     else:
-        dt = dt.cache()
+        per_doc = per_doc.cache()
     # light scalars scan: column-pruned count + max id over ALL docs
     r0 = docs.agg(F.count(F.lit(1)).alias("n"),
                   F.max(F.col(id_col)).alias("max_doc")).collect()[0]
     if int(r0["n"] or 0) == 0:
         raise ValueError("cannot build an index over an empty corpus")
-    # dl per doc from the cached expansion, right-joined to the full doc-id
-    # list (a thin column-pruned scan) so zero-token docs keep their dl=0
-    # rows; the write materializes the dt cache in the same job
-    ids = docs.select(F.col(id_col).alias("doc_id"))
-    dl_df = (ids.join(dt.groupBy("doc_id").agg(F.first("dl").alias("dl")),
-                      "doc_id", "left")
-             .select("doc_id", F.coalesce("dl", F.lit(0)).alias("dl")))
-    obs = Observation("corpus_scalars")
-    dl_df = dl_df.observe(obs, F.sum("dl").alias("sum_dl"))
     if doc_stats_path is not None:
-        dl_df.write.mode("overwrite").parquet(doc_stats_path)
-        got = obs.get
-    elif compute_avgdl:
-        got = {"sum_dl": dl_df.agg(F.sum("dl")).collect()[0][0]}
-    else:
-        # resume path: avgdl comes from the manifest, don't pay a full
-        # expansion aggregation just to throw the result away
-        got = {"sum_dl": None}
+        # thin projection of the materialized expansion — no join, no agg
+        per_doc.select("doc_id", "dl").write.mode("overwrite") \
+            .parquet(doc_stats_path)
+    if got["sum_dl"] is None and (doc_stats_path is not None or compute_avgdl):
+        got = {"sum_dl": per_doc.agg(F.sum("dl")).collect()[0][0]}
+    dt = _explode_expansion(per_doc)
     scalars = {"n_docs": int(r0["n"]),
                # None (not 0) when not computed: a caller accidentally
                # scoring with this placeholder fails loudly, not silently
