@@ -85,6 +85,57 @@ def run_control(cores: str) -> dict:
     return {"sec": round(sec, 2)}
 
 
+def run_control_cpu(cores: str) -> dict:
+    """Best-case engine-free control: embarrassingly-parallel pure-JVM CPU
+    work (sha2 chains over a range), NO shuffle, no Python — the most
+    scalable job expressible on this box. Whatever efficiency THIS reaches
+    is the measured ceiling for any Spark job here."""
+    from pyspark.sql import functions as F
+
+    n = int(os.environ.get("SPARK_GRAFT_CPU_ROWS", "40000000"))
+    spark = _get_spark(cores, f"controlcpu-{cores}")
+    df = spark.range(0, n, 1, 64)
+    expr = F.col("id").cast("string")
+    for _ in range(4):
+        expr = F.sha2(expr, 256)
+    sec = _timed(lambda: df.select(
+        F.length(expr).alias("l")).agg(F.sum("l")).collect())
+    spark.stop()
+    return {"sec": round(sec, 2)}
+
+
+def run_control_py(cores: str) -> dict:
+    """Python-worker control: Arrow-batched numpy work (mapInPandas), NO
+    shuffle, no engine code — the execution class of the WAND kernel. Its
+    measured efficiency is the box ceiling for any Arrow-UDF-bound stage
+    (concurrent Python workers share the memory system the same way)."""
+    import numpy as _np
+    import pandas as _pd
+
+    n = int(os.environ.get("SPARK_GRAFT_PY_ROWS", "64"))
+    spark = _get_spark(cores, f"controlpy-{cores}")
+    df = spark.range(0, n, 1, 64)
+
+    def work(batches):
+        for pdf in batches:
+            acc = 0.0
+            for _seed in pdf["id"]:
+                rng = _np.random.default_rng(int(_seed))
+                x = rng.random(2_000_000)
+                # scatter-add into a small accumulator: the WAND kernel's
+                # memory access pattern (random index, fits-in-L2 target)
+                idx = (x * 25000).astype(_np.int64)
+                a = _np.zeros(25000)
+                _np.add.at(a, idx, x)
+                acc += float(a.sum())
+            yield _pd.DataFrame({"s": [acc]})
+
+    sec = _timed(lambda: df.mapInPandas(work, "s DOUBLE")
+                 .agg({"s": "sum"}).collect())
+    spark.stop()
+    return {"sec": round(sec, 2)}
+
+
 def run_build(cores: str) -> dict:
     from light_splade_spark.fixtures import make_corpus_df
     from light_splade_spark.index.build import build_index
@@ -131,7 +182,9 @@ def run_query(cores: str) -> dict:
     return {"sec": round(sec, 2), "qps": round(n_q / sec, 1)}
 
 
-STAGES = {"control": run_control, "build": run_build, "query": run_query}
+STAGES = {"control": run_control, "control_cpu": run_control_cpu,
+          "control_py": run_control_py,
+          "build": run_build, "query": run_query}
 
 
 # --- orchestrator ------------------------------------------------------------
@@ -170,13 +223,24 @@ def _ensure_query_index(env: dict) -> str:
     return idx
 
 
-def orchestrate(stage: str, reps: int, extra_env: dict) -> dict:
+def orchestrate(stage: str, reps: int, extra_env: dict,
+                levels: tuple[str, str] = ("2", "8")) -> dict:
+    """Run `stage` at two parallelism levels (lo, hi), alternating, in fresh
+    subprocesses; report median-of-reps efficiency = (med_lo/med_hi)/(hi/lo).
+
+    The default 2->8 ladder shares one memory bus at the hi level; a 1->4
+    ladder leaves the hi level unsaturated on this 32-core box and is the
+    closer analogue of N->4N *executors* (each executor on a real cluster
+    brings its own memory bandwidth — cores on one socket do not).
+    """
+    lo, hi = levels
+    factor = int(hi) / int(lo)
     env = dict(extra_env)
     if stage == "query":
         env["SPARK_GRAFT_PROTO_IDX"] = _ensure_query_index(env)
-    runs: dict[str, list[dict]] = {"2": [], "8": []}
+    runs: dict[str, list[dict]] = {lo: [], hi: []}
     for rep in range(reps):
-        for cores in ("2", "8"):  # alternate levels every repetition
+        for cores in (lo, hi):  # alternate levels every repetition
             r = _subprocess_run(stage, cores, env)
             r["rep"] = rep
             runs[cores].append(r)
@@ -186,16 +250,17 @@ def orchestrate(stage: str, reps: int, extra_env: dict) -> dict:
     summary = {
         "stage": stage,
         "reps": reps,
+        "levels": [int(lo), int(hi)],
         "protocol": "fresh-process, alternating levels, median-of-reps",
         "env": {k: v for k, v in {**os.environ, **env}.items()
                 if k.startswith("SPARK_GRAFT_")},
-        "sec_2": {"median": round(med["2"], 2),
-                  "min": round(min(x["sec"] for x in runs["2"]), 2),
-                  "max": round(max(x["sec"] for x in runs["2"]), 2)},
-        "sec_8": {"median": round(med["8"], 2),
-                  "min": round(min(x["sec"] for x in runs["8"]), 2),
-                  "max": round(max(x["sec"] for x in runs["8"]), 2)},
-        "efficiency_median": round((med["2"] / med["8"]) / 4.0, 3),
+        f"sec_{lo}": {"median": round(med[lo], 2),
+                      "min": round(min(x["sec"] for x in runs[lo]), 2),
+                      "max": round(max(x["sec"] for x in runs[lo]), 2)},
+        f"sec_{hi}": {"median": round(med[hi], 2),
+                      "min": round(min(x["sec"] for x in runs[hi]), 2),
+                      "max": round(max(x["sec"] for x in runs[hi]), 2)},
+        "efficiency_median": round((med[lo] / med[hi]) / factor, 3),
         "runs": runs,
         "ts": time.time(),
     }
@@ -221,7 +286,10 @@ def main() -> None:
     if "--control-rows" in sys.argv:
         env["SPARK_GRAFT_CONTROL_ROWS"] = \
             sys.argv[sys.argv.index("--control-rows") + 1]
-    summary = orchestrate(stage, reps, env)
+    levels = ("2", "8")
+    if "--levels" in sys.argv:
+        levels = tuple(sys.argv[sys.argv.index("--levels") + 1].split(","))
+    summary = orchestrate(stage, reps, env, levels=levels)
     print(json.dumps({k: v for k, v in summary.items() if k != "runs"}))
 
 
