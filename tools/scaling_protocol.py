@@ -17,12 +17,20 @@ Spark's per-job constants at any code quality. Protocol therefore:
   reaches 0.8" are distinguishable.
 
 Stages measured:
-  control   — pure-JVM shuffle (groupBy over xxhash64 keys), no engine code
-  build     — full index build at SPARK_GRAFT_SCALE_DOCS docs
-  query     — warm 30k-query batch over one shared prebuilt index
+  control     — pure-JVM shuffle (groupBy over xxhash64 keys), no engine code
+  control_cpu — pure-JVM sha2 chain, NO shuffle: the box's best case
+  control_py  — Arrow/numpy mapInPandas, NO shuffle: the Python-worker class
+  build       — full index build at SPARK_GRAFT_SCALE_DOCS docs
+  query       — warm 30k-query batch over one shared prebuilt index
+
+Ladder levels default to 2->8 cores; pass `--levels 1,4` for the
+unsaturated ladder (at 4 of 32 cores the shared memory bus is not
+saturated, which is the closer analogue of adding executor NODES — each
+node on a real cluster brings its own memory channels).
 
 Usage:
   python tools/scaling_protocol.py <stage> [--reps 5] [--docs N] [--queries N]
+                                   [--levels 1,4] [--control-rows N]
   python tools/scaling_protocol.py one <stage> <cores>   # single subprocess run
 
 Run EXCLUSIVELY (no concurrent jobs — even a pytest run distorts local[8]
@@ -53,6 +61,11 @@ def _timed(fn) -> float:
 
 
 def _get_spark(cores: str, app: str):
+    """SPARK_GRAFT_LC=1 runs the level as `cores` SEPARATE single-core
+    executor JVMs (local-cluster) — each with its own heap/GC/shuffle
+    server, the honest sandbox emulation of "N executors vs 4N executors";
+    plain local[cores] threads share one JVM and conflate executor scaling
+    with intra-JVM heap/GC contention."""
     from light_splade_spark.session import get_spark
 
     extra = {"spark.sql.shuffle.partitions": "64",
@@ -60,7 +73,14 @@ def _get_spark(cores: str, app: str):
     if os.path.isdir("/dev/shm"):
         d = tempfile.mkdtemp(prefix="lss_proto_", dir="/dev/shm")
         extra["spark.local.dir"] = d
-    return get_spark(app_name=app, master=f"local[{cores}]", extra_conf=extra)
+        os.environ.setdefault("SPARK_LOCAL_DIRS", d)
+    if os.environ.get("SPARK_GRAFT_LC", "0") == "1":
+        mem = os.environ.get("SPARK_GRAFT_LC_MEM_MB", "8192")
+        extra["spark.executorEnv.PYTHONPATH"] = REPO
+        master = f"local-cluster[{cores},1,{mem}]"
+    else:
+        master = f"local[{cores}]"
+    return get_spark(app_name=app, master=master, extra_conf=extra)
 
 
 # --- single-run stage bodies (executed in a fresh subprocess) ---------------
