@@ -92,12 +92,19 @@ def _cached_index(spark, sf_dir: str) -> str:
         _build()
         return idx
     try:
-        IndexManifest.load(idx)
+        man = IndexManifest.load(idx)
+        if man.status != "complete":
+            # a crashed prior build leaves a parseable manifest with
+            # status='building' and partial/missing postings — serving it
+            # would silently return wrong top-k. Same treatment as corrupt.
+            raise CorruptIndexError(
+                f"cached index at {idx} has status={man.status!r}")
     except (OSError, CorruptIndexError):
-        # corrupt-cache cases only (missing/partial files, or a manifest
-        # this engine's schema can't parse): rebuild once. Validation and
-        # kernel bugs raise ValueError/TypeError/KeyError and surface
-        # loudly instead of triggering a silent multi-minute rebuild.
+        # corrupt-cache cases only (missing/partial files, a manifest this
+        # engine's schema can't parse, or an incomplete prior build):
+        # rebuild once. Validation and kernel bugs raise ValueError/
+        # TypeError/KeyError and surface loudly instead of triggering a
+        # silent multi-minute rebuild.
         import shutil
         shutil.rmtree(idx, ignore_errors=True)
         _build()
@@ -419,15 +426,28 @@ def q_cjk_tokens(spark, sf_dir):
     )
 
 
+# appended to every doc in the wordpiece oracle query so the BERT
+# BasicTokenizer pre-tokenization is exercised on accents, punctuation,
+# Cyrillic, Greek, and Japanese (ideographs spaced per-char, kana kept as
+# runs) — both engines derive the same text, so the closed-form
+# SINGLE_CHAR_VOCAB oracle hash-checks the full multilingual stream.
+WP_MIXED_SLICE = " Café—naïve, Привет?! mañana… 東京都カタカナ (wp4)."
+
+
 def q_wordpiece_tokens(spark, sf_dir):
-    """WordPiece v3 subword tokenization (F3's learned-vocab path, reference
-    models/splade.py:237-245): the distributed Arrow-UDF greedy tokenizer
-    run with SINGLE_CHAR_VOCAB — the vocab whose WordPiece expansion has an
-    exact closed form (first char, then ##char per following char; whole
-    word -> [UNK] if any char is outside the vocab), so DuckDB mirrors the
-    token stream independently without reimplementing greedy matching.
-    General multi-char greedy longest-match is hypothesis/pytest-verified
-    (tests/test_wordpiece.py)."""
+    """WordPiece v4 subword tokenization (F3's learned-vocab path, reference
+    models/splade.py:237-245, data/base.py:67-76): BERT BasicTokenizer
+    pre-tokenization (lower, NFD accent-strip, punctuation split, CJK
+    ideograph spacing — every script, not just ASCII) + the distributed
+    Arrow-UDF greedy tokenizer run with SINGLE_CHAR_VOCAB — the vocab whose
+    WordPiece expansion has an exact closed form (first char, then ##char
+    per following char; whole word -> [UNK] if any char is outside the
+    vocab), so DuckDB mirrors the token stream independently without
+    reimplementing greedy matching. A mixed-script slice (WP_MIXED_SLICE)
+    is appended in both engines to exercise the multilingual path. General
+    multi-char greedy longest-match is hypothesis/pytest-verified
+    (tests/test_wordpiece.py) and hash-checked via the precomputed-token
+    -table oracle (Q:wordpiece_multichar)."""
     from light_splade_spark.functions.wordpiece import (
         SINGLE_CHAR_VOCAB,
         make_wordpiece_analyzer,
@@ -435,7 +455,7 @@ def q_wordpiece_tokens(spark, sf_dir):
 
     wp = make_wordpiece_analyzer(SINGLE_CHAR_VOCAB)
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
-    toks = wp.spark_tokens("text")
+    toks = wp.spark_tokens(F.concat(F.col("text"), F.lit(WP_MIXED_SLICE)))
     return d.select(
         "doc_id",
         F.size(toks).alias("n_pieces"),
@@ -1044,15 +1064,20 @@ FROM documents
 WHERE doc_id < 200 AND doc_id % 3 = 2
 """
 
-    from light_splade_spark.functions.analyzers import CJK_RANGE
+    from light_splade_spark.functions.wordpiece import (
+        MAX_WORD_CHARS,
+        wordpiece_basic_tokens_sql,
+    )
+    slice_sql = WP_MIXED_SLICE.replace("'", "''")
     o["wordpiece_tokens"] = f"""
 WITH d AS (
   SELECT doc_id,
-         regexp_extract_all(lower(text), '[a-z0-9]+|[{CJK_RANGE}]') AS ws
+         {wordpiece_basic_tokens_sql(f"text || '{slice_sql}'")} AS ws
   FROM documents WHERE doc_id < 100),
 p AS (
   SELECT doc_id, flatten(list_transform(ws, w ->
-    CASE WHEN regexp_matches(w, '^[a-z0-9]+$') THEN
+    CASE WHEN regexp_matches(w, '^[a-z0-9]+$')
+              AND length(w) <= {MAX_WORD_CHARS} THEN
       list_transform(range(0, length(w)), i ->
         CASE WHEN i = 0 THEN substr(w, 1, 1)
              ELSE '##' || substr(w, i + 1, 1) END)

@@ -107,7 +107,7 @@ class Engine:
 
         ``num_subword_tokens`` counts the reference's ``##``-prefixed
         wordpiece continuations (``sparse_indexer.py:192``) — real on a
-        wordpiece-v3 index (functions/wordpiece.py). The deterministic v1/v2
+        wordpiece-v4 index (functions/wordpiece.py). The deterministic v1/v2
         analyzers have no ``##`` marker, so for them the tokenizer-internal
         unit counted is the CJK character bigram the v2 analyzer emits
         (0 on a pure-ASCII v1 index, by construction)."""

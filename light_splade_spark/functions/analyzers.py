@@ -178,7 +178,7 @@ def get_analyzer(version: str) -> Analyzer:
 
 def resolve_analyzer(version: str, index_dir: str | None = None) -> Analyzer:
     """get_analyzer, plus the vocab-analyzer fallback: a wordpiece version
-    (``ls-spark-wp3-*``) not yet registered in this process is reconstructed
+    (``ls-spark-wp4-*``) not yet registered in this process is reconstructed
     from the vocab file persisted inside ``index_dir`` — so any process can
     query any index with nothing but the index directory."""
     if version not in ANALYZERS and index_dir is not None:

@@ -1,26 +1,47 @@
-"""WordPiece analyzer v3 (``ls-spark-wp3-<vocab-hash>``) — vocab-driven
-greedy longest-match subword tokenization.
+"""WordPiece analyzer v4 (``ls-spark-wp4-<vocab-hash>``) — the public BERT
+BasicTokenizer pre-tokenization + vocab-driven greedy longest-match subword
+tokenization.
 
 The reference tokenizes with a learned HF subword vocab
 (``models/splade.py:237-245``, ``data/base.py:67-76``; the indexer counts
 ``##``-prefixed pieces at ``sparse_indexer.py:192``). A deterministic
-engine can't ship a learned vocab, but the WordPiece *algorithm* is public
-(greedy longest-match against a vocab, ``##`` continuation prefix, whole
-word -> ``[UNK]`` when any position fails): given the same vocab file, this
-analyzer reproduces the reference's exact token stream.
+engine can't ship a learned vocab, but both halves of the HF chain are
+public algorithms this module reproduces exactly:
+
+1. **BasicTokenizer** (``basic_tokens``): clean (drop control/format chars
+   and U+FFFD; whitespace -> space), space out CJK *ideographs* (BERT's
+   ``_is_chinese_char`` ranges — kana stays inside letter runs; the
+   reference's MeCab word segmentation is a learned component out of
+   deterministic scope), lowercase, NFD-normalize and strip combining
+   marks (category Mn, WITHOUT recomposing — HF leaves NFD), split every
+   punctuation char (Unicode ``P*`` plus BERT's four ASCII symbol ranges)
+   into its own token, keep all other non-space runs whole. This covers
+   every script: ``mañana`` -> ``manana``, ``Привет`` -> ``привет``,
+   ``día!`` -> ``dia`` ``!``.
+2. **WordPiece** (``wordpiece_word``): greedy longest-match against the
+   vocab, ``##`` continuation prefix, whole word -> ``[UNK]`` when any
+   position fails. Given the same vocab file, the reference's exact token
+   stream reproduces.
 
 Three representations:
-* ``py_tokenize`` — the driver/query/oracle-side mirror (pure Python);
+* ``py_tokenize`` — the driver/query/oracle-side mirror (pure Python,
+  faithful to HF including NFD non-recomposition);
 * ``spark_tokens`` — an Arrow pandas UDF sharing the SAME Python kernel
   (tokenization with a learned vocab is the one place the reference itself
   runs a heavy UDF, SURVEY §2.8); length-agnostic, vocab ships once per
   executor in the closure;
-* no generic DuckDB expression — greedy longest-match isn't an inline SQL
-  expression. The driver oracle instead uses SINGLE_CHAR_VOCAB, for which
-  the WordPiece expansion has an exact closed form (first char, then
-  ``##``+char per following char) that SQL mirrors independently; the
-  general greedy path is pytest/hypothesis-verified against the Python
-  mirror (tests/test_wordpiece.py).
+* ``wordpiece_basic_tokens_sql`` — the DuckDB mirror of ``basic_tokens``
+  (``strip_accents(lower(..))`` + one RE2 extract). Verified equal to the
+  Python kernel on Latin/accents/Cyrillic/Greek/Japanese/Thai/Hebrew/
+  Arabic/punctuation (tests/test_wordpiece.py); KNOWN divergences, kept
+  out of oracle corpora: word-final Greek sigma (DuckDB lower lacks the
+  contextual rule), Hangul (DuckDB recomposes where HF leaves NFD Jamo),
+  Devanagari-class spacing marks (DuckDB strips Mc, HF strips only Mn),
+  and control chars mid-word (HF removes them joining the halves, the
+  regex treats them as delimiters). Greedy longest-match itself isn't an
+  inline SQL expression — the driver oracle uses SINGLE_CHAR_VOCAB, whose
+  expansion has an exact closed form (first char, then ``##``+char), or a
+  precomputed token table for general vocabs.
 
 The analyzer version embeds md5(vocab), and ``build_index`` persists the
 vocab as ``<index_dir>/analyzer_vocab.json`` so ``resolve_analyzer`` can
@@ -34,22 +55,32 @@ import hashlib
 import json
 import os
 import re
+import sys
+import unicodedata
 
 import pandas as pd
 
 from light_splade_spark.functions.analyzers import (
     ANALYZERS,
-    CJK_RANGE,
     Analyzer,
 )
 
 UNK = "[UNK]"
-VERSION_PREFIX = "ls-spark-wp3-"
+VERSION_PREFIX = "ls-spark-wp4-"
 MAX_WORD_CHARS = 64  # HF default 100; longer words -> [UNK] outright
 
-# basic pre-tokenization, document order: ascii alnum words + single CJK
-# chars (BERT's basic tokenizer splits around CJK codepoints)
-_BASIC_RE = re.compile(f"[a-z0-9]+|[{CJK_RANGE}]")
+# BERT BasicTokenizer's punctuation includes four ASCII ranges beyond
+# Unicode P* (they pull in $ + < = > ^ ` | ~, category S):
+# 33-47, 58-64, 91-96, 123-126.
+_ASCII_PUNCT_RANGES = ((33, 47), (58, 64), (91, 96), (123, 126))
+
+# BERT ``_is_chinese_char``: CJK ideograph blocks ONLY — kana is not spaced
+# out (it tokenizes as ordinary letter runs, as in HF).
+CJK_IDEO_RANGES = (
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x20000, 0x2A6DF),
+    (0x2A700, 0x2B73F), (0x2B740, 0x2B81F), (0x2B820, 0x2CEAF),
+    (0xF900, 0xFAFF), (0x2F800, 0x2FA1F),
+)
 
 # the SQL-mirrorable fixture vocab: every [a-z0-9] char + its ##-continuation.
 # Greedy longest-match over it has a closed form (char, then ##char...), so
@@ -60,8 +91,102 @@ SINGLE_CHAR_VOCAB: tuple[str, ...] = tuple(
 )
 
 
+def _class_body(ranges) -> str:
+    """Regex character-class body from codepoint ranges (\\u escapes, so no
+    class-metacharacter issues)."""
+    parts = []
+    for a, b in ranges:
+        ea = f"\\U{a:08x}" if a > 0xFFFF else f"\\u{a:04x}"
+        eb = f"\\U{b:08x}" if b > 0xFFFF else f"\\u{b:04x}"
+        parts.append(ea if a == b else f"{ea}-{eb}")
+    return "".join(parts)
+
+
+def _cp_ranges(cps: list[int]):
+    out = []
+    s = p = cps[0]
+    for c in cps[1:]:
+        if c == p + 1:
+            p = c
+        else:
+            out.append((s, p))
+            s = p = c
+    out.append((s, p))
+    return out
+
+
+_RE_CACHE: dict[str, re.Pattern] = {}
+
+
+def _compiled() -> dict[str, re.Pattern]:
+    """Exact Unicode category classes for stdlib ``re`` (which lacks
+    ``\\p{..}``), built once per process from unicodedata (~0.3 s; Python
+    workers are reused across Arrow batches so this amortizes)."""
+    if _RE_CACHE:
+        return _RE_CACHE
+    punct, mn, ctrl, zs = [], [], [], []
+    for cp in range(sys.maxunicode + 1):
+        cat = unicodedata.category(chr(cp))
+        if cat.startswith("P"):
+            punct.append(cp)
+        elif cat == "Mn":
+            mn.append(cp)
+        elif cat.startswith("C") and cp not in (9, 10, 13):
+            # HF _is_control: every category C* except \t \n \r
+            ctrl.append(cp)
+        elif cat in ("Zs", "Zl", "Zp"):
+            # Zs: HF _is_whitespace; Zl/Zp (U+2028/29): survive HF's clean
+            # pass but split anyway via str.split() in whitespace_tokenize
+            zs.append(cp)
+    punct = sorted(set(punct) | {cp for a, b in _ASCII_PUNCT_RANGES
+                                 for cp in range(a, b + 1)})
+    ctrl = sorted(set(ctrl) | {0xFFFD})  # HF also drops U+FFFD
+    p_cls = _class_body(_cp_ranges(punct))
+    ideo_cls = _class_body(CJK_IDEO_RANGES)
+    # space \t \n \r + the Z* categories collected above
+    ws_cls = "\\u0009\\u000a\\u000d\\u0020" + _class_body(_cp_ranges(zs))
+    _RE_CACHE["clean"] = re.compile(f"[{_class_body(_cp_ranges(ctrl))}]")
+    _RE_CACHE["mn"] = re.compile(f"[{_class_body(_cp_ranges(mn))}]")
+    _RE_CACHE["token"] = re.compile(
+        f"[{p_cls}]|[{ideo_cls}]|[^{ws_cls}{p_cls}{ideo_cls}]+")
+    return _RE_CACHE
+
+
 def basic_tokens(text: str) -> list[str]:
-    return _BASIC_RE.findall((text or "").lower())
+    """The public BERT BasicTokenizer (do_lower_case=True) token stream, in
+    document order. Equivalent single-pass form of HF's clean -> space-CJK
+    -> whitespace-split -> per-token (lower, NFD strip-Mn) -> punct-split:
+    lower/NFD never create whitespace/punctuation/ideographs, so one global
+    lower+NFD+strip followed by one extraction regex yields the identical
+    stream."""
+    tables = _compiled()
+    t = text or ""
+    if tables["clean"].search(t):  # control/format/U+FFFD chars are rare
+        t = tables["clean"].sub("", t)
+    t = t.lower()
+    if not t.isascii():
+        t = unicodedata.normalize("NFD", t)
+        if tables["mn"].search(t):
+            t = tables["mn"].sub("", t)
+    return tables["token"].findall(t)
+
+
+def wordpiece_basic_tokens_sql(col: str) -> str:
+    """DuckDB expression mirroring ``basic_tokens`` (see module docstring
+    for the verified scripts and the four documented divergences).
+
+    ``strip_accents(lower(x))`` reproduces lower+NFD+strip-Mn (verified
+    char-for-char in tests), and one RE2 extraction reproduces the token
+    stream: punctuation chars and CJK ideographs as single tokens, maximal
+    runs of everything else (control chars excluded — they never match)."""
+    ap = "".join(f"\\x{{{a:02x}}}-\\x{{{b:02x}}}"
+                 for a, b in _ASCII_PUNCT_RANGES)
+    ideo = "".join(
+        (f"\\x{{{a:x}}}" if a == b else f"\\x{{{a:x}}}-\\x{{{b:x}}}")
+        for a, b in CJK_IDEO_RANGES)
+    pat = (f"[{ap}]|\\p{{P}}|[{ideo}]"
+           f"|[^\\s\\p{{Z}}\\p{{C}}\\x{{fffd}}{ap}\\p{{P}}{ideo}]+")
+    return f"regexp_extract_all(strip_accents(lower({col})), '{pat}')"
 
 
 def wordpiece_word(word: str, vocab: frozenset[str],

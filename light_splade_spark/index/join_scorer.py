@@ -104,8 +104,12 @@ def query_terms_df(spark: SparkSession, index_dir: str,
     """(qid, text) DataFrame -> (qid, term_id, qtf), tokenized with the
     index's pinned analyzer and resolved against the terms dim (inner join
     drops terms absent from the index — they can't contribute to any score).
-    Tokenization is the analyzer's JVM-side column, so a billion-query set
-    never routes through Python."""
+    For the v1/v2 analyzers tokenization is a fully JVM-side column
+    (codegen'd — a billion-query set never routes through Python); a
+    wordpiece-v3-pinned index tokenizes through the analyzer's
+    Arrow-vectorized pandas UDF instead (greedy vocab matching is not a SQL
+    expression — the reference itself tokenizes in a heavy UDF, SURVEY
+    §2.8), still batch-parallel and driver-state-free."""
     from light_splade_spark.functions.analyzers import resolve_analyzer
 
     man = IndexManifest.load(index_dir)

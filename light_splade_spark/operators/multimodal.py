@@ -166,6 +166,10 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224,
                     out_payload.append(bytearray(seed * 4))  # deterministic stub
                 m = dict(r.meta.asDict()) if hasattr(r.meta, "asDict") else dict(r.meta or {})
                 m["width"], m["height"] = width, height
+                if decoder == "real":
+                    # the real path re-encodes every payload as PNG, so the
+                    # metadata must follow the bytes
+                    m["mime"] = "image/png"
                 out_meta.append((m.get("width"), m.get("height"),
                                  m.get("duration_ms"), m.get("mime")))
             yield pd.DataFrame({

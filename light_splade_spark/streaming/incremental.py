@@ -23,7 +23,6 @@ Query-side: the WAND kernel merges multiple posting rows per (shard, term)
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 
@@ -99,9 +98,15 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
             .cast("int").alias("salt"),
         )
     )
+    # a NAMED function (not functools.partial): applyInPandas infers the
+    # eval type from the callable and warns on partials — same pattern as
+    # index/wand.py's query kernel
+    def encode_kernel(pdf):
+        return _encode_groups(pdf, block_size=man.block_size,
+                              weight_bits=man.weight_bits)
+
     runs = posts.groupBy("shard", "bucket", "salt").applyInPandas(
-        functools.partial(_encode_groups, block_size=man.block_size,
-                          weight_bits=man.weight_bits), RUN_SCHEMA)
+        encode_kernel, RUN_SCHEMA)
     final = runs.groupBy("shard", "bucket").applyInPandas(
         _merge_groups, POSTING_SCHEMA)
     out_dir = os.path.join(index_dir, "postings", f"shard_group=append-{batch_id}")

@@ -93,3 +93,20 @@ def test_bucket_partition_pruning_layout(spark, docs, tmp_path):
     assert one.select("term_id").distinct().count() > 0
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "bucket" in plan
+
+
+def test_per_doc_expansion_projection_separation(spark, docs):
+    """The zero-shuffle TF expansion depends on CollapseProject keeping the
+    sorted token array in its own projection: an expression (rather than a
+    bare attribute) referenced inside a higher-order-function lambda is
+    re-evaluated PER ELEMENT, so an inlined array_sort would turn
+    O(dl log dl) into O(dl^2 log dl) per doc. Guard the invariant against
+    future Catalyst/refactor changes: array_sort appears exactly once in the
+    optimized plan, and the whole expansion is shuffle-free."""
+    from light_splade_spark.index.build import per_doc_expansion
+
+    df = per_doc_expansion(docs)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("array_sort") == 1, optimized
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in physical, physical
