@@ -224,6 +224,79 @@ def run_query_scaling_one(master: str, idx_dir: str, n_queries: int,
             "qps": round(n_queries / t, 1)}
 
 
+def _ensure_scale_index(n_docs: int) -> str:
+    """Build (once) and return the shared /tmp scale index over the
+    deterministic synthetic corpus; reused by --query-scaling and
+    --join-scale. A stale partial build (manifest not 'complete') is
+    discarded and rebuilt."""
+    from light_splade_spark.fixtures import make_corpus_df
+    from light_splade_spark.index.build import build_index
+    from light_splade_spark.session import get_spark
+
+    wbits = int(os.environ.get("SPARK_GRAFT_WBITS", "8"))
+    idx_dir = f"/tmp/lss_qscale_idx_{n_docs}_w{wbits}"
+
+    def _complete(d: str) -> bool:
+        try:
+            with open(os.path.join(d, "manifest.json")) as f:
+                return json.load(f).get("status") == "complete"
+        except OSError:
+            return False
+
+    if not _complete(idx_dir):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        spark = get_spark(app_name="lss-qscale-build", master="local[8]",
+                          extra_conf={"spark.sql.shuffle.partitions": "64"})
+        corpus_path = f"/tmp/lss_scaling_corpus_{n_docs}"
+        if not os.path.exists(corpus_path):
+            make_corpus_df(spark, n_docs).write.mode("overwrite") \
+                .parquet(corpus_path)
+        build_index(spark, spark.read.parquet(corpus_path), idx_dir,
+                    n_shards=None, n_buckets=16, n_salts=8,
+                    n_shard_groups=1, run_size=4096, weight_bits=wbits)
+        spark.stop()
+    return idx_dir
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def run_suite_median(n_runs: int) -> dict:
+    """Headline suite as the median of ``n_runs`` fresh-process draws.
+
+    The repo's own scaling data (BENCH/scaling_protocol.jsonl) shows ~1 in
+    5 runs on this host degrades ~1.8x episodically, so a single draw is
+    not an interpretable benchmark; per-query and suite medians are, and
+    min/max disclose the spread. Fresh process per draw — a reused driver
+    JVM carries heap/GC/codegen state into later draws."""
+    import subprocess
+
+    draws = []
+    for i in range(n_runs):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--suite-one"],
+            capture_output=True, text=True, check=True, env=os.environ)
+        draws.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    names = list(draws[0]["queries"])
+    queries = {k: round(_median([d["queries"][k] for d in draws]), 3)
+               for k in names}
+    spread = {k: {"min": round(min(d["queries"][k] for d in draws), 3),
+                  "max": round(max(d["queries"][k] for d in draws), 3)}
+              for k in names}
+    totals = [round(sum(d["queries"].values()), 3) for d in draws]
+    extras = dict(draws[0]["extras"])
+    for k, v in list(extras.items()):
+        if isinstance(v, (int, float)) and k != "n_docs":
+            vals = [d["extras"][k] for d in draws]
+            extras[k] = round(_median(vals), 3)
+    return {"queries": queries, "queries_spread": spread, "extras": extras,
+            "suite": {"median": _median(totals), "min": min(totals),
+                      "max": max(totals), "runs": totals}}
+
+
 def main() -> None:
     if "--query-scaling-one" in sys.argv:
         cores = sys.argv[sys.argv.index("--query-scaling-one") + 1]
@@ -233,37 +306,32 @@ def main() -> None:
         print(json.dumps(run_query_scaling_one(master, idx_dir, nq,
                                                extra_conf=conf)))
         return
-    if "--query-scaling" in sys.argv:
-        import subprocess
-
-        from light_splade_spark.fixtures import make_corpus_df
-        from light_splade_spark.index.build import build_index
+    if "--join-scale" in sys.argv:
+        # the index-backed join route (score_index_join) at its DESIGN
+        # scale: 10k+ synthetic queries joined against the decoded 800k-doc
+        # index (VERDICT r3 item 4) — reports the route's queries/sec
+        from light_splade_spark.index.join_scorer import score_index_join
         from light_splade_spark.session import get_spark
 
         n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "800000"))
-        wbits = int(os.environ.get("SPARK_GRAFT_WBITS", "8"))
-        idx_dir = f"/tmp/lss_qscale_idx_{n_docs}_w{wbits}"
+        nq = int(os.environ.get("SPARK_GRAFT_JOIN_QUERIES", "10000"))
+        idx_dir = _ensure_scale_index(n_docs)
+        spark = get_spark(app_name="lss-join-scale", master=f"local[{CPUS}]",
+                          extra_conf={"spark.sql.shuffle.partitions": "64"})
+        qdf = spark.createDataFrame(_query_batch(nq),
+                                    "qid BIGINT, text STRING")
+        t, _ = _timed(lambda: _noop(
+            score_index_join(spark, idx_dir, qdf, top_k=10)))
+        print(json.dumps({
+            "metric": "join_route_qps", "n_docs": n_docs, "n_queries": nq,
+            "join_scale_sec": round(t, 2), "join_qps": round(nq / t, 1)}))
+        spark.stop()
+        return
+    if "--query-scaling" in sys.argv:
+        import subprocess
 
-        def _complete(d: str) -> bool:
-            try:
-                import json as _json
-                with open(os.path.join(d, "manifest.json")) as f:
-                    return _json.load(f).get("status") == "complete"
-            except OSError:
-                return False
-
-        if not _complete(idx_dir):
-            shutil.rmtree(idx_dir, ignore_errors=True)  # stale partial build
-            spark = get_spark(app_name="lss-qscale-build", master="local[8]",
-                              extra_conf={"spark.sql.shuffle.partitions": "64"})
-            corpus_path = f"/tmp/lss_scaling_corpus_{n_docs}"
-            if not os.path.exists(corpus_path):
-                make_corpus_df(spark, n_docs).write.mode("overwrite") \
-                    .parquet(corpus_path)
-            build_index(spark, spark.read.parquet(corpus_path), idx_dir,
-                        n_shards=None, n_buckets=16, n_salts=8,
-                        n_shard_groups=1, run_size=4096, weight_bits=wbits)
-            spark.stop()
+        n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "800000"))
+        idx_dir = _ensure_scale_index(n_docs)
         res = {}
         for cores in ("2", "8"):
             out = subprocess.run(
@@ -310,14 +378,30 @@ def main() -> None:
         }
         print(json.dumps(out))
         return
-    r = run_suite(f"local[{CPUS}]")
-    total = round(sum(r["queries"].values()), 3)
+    if "--suite-one" in sys.argv:
+        r = run_suite(f"local[{CPUS}]")
+        print(json.dumps(r))
+        return
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    if n_runs <= 1:
+        r = run_suite(f"local[{CPUS}]")
+        total = round(sum(r["queries"].values()), 3)
+        suite = {"median": total, "min": total, "max": total, "runs": [total]}
+    else:
+        r = run_suite_median(n_runs)
+        suite = r["suite"]
     print(json.dumps({
         "metric": "headline_suite_sec",
-        "value": total,
+        "value": suite["median"],          # driver-compatible single number
         "unit": "sec",
-        "queries": r["queries"],
+        "queries": r["queries"],           # per-query MEDIANS across runs
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "suite_median_sec": suite["median"],
+        "suite_min_sec": suite["min"],
+        "suite_max_sec": suite["max"],
+        "suite_runs_sec": suite["runs"],
+        **({"queries_spread": r["queries_spread"]}
+           if "queries_spread" in r else {}),
         **r["extras"],
     }))
 

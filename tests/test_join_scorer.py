@@ -79,3 +79,70 @@ def test_decode_postings_term_subset_pruning(spark, idx):
                sub.select("term_id").distinct().collect()) == set(tids)
     full = decode_postings(spark, idx).where(F.col("term_id").isin(tids))
     assert sub.count() == full.count()
+
+
+def test_join_scorer_at_design_scale_10k_queries(spark, docs, tmp_path):
+    """The route's design claim is 10^5+-query workloads; drive it at 10k
+    synthetic queries (VERDICT r3 item 4): (a) completes with every query
+    answered, (b) sampled rank-identity vs WAND, (c) the contrib join is a
+    SHUFFLE join with the full query set (the query side must NOT broadcast
+    — broadcasting 10^6+ queries would OOM every executor), while the terms
+    dim / semi-join broadcasts are expected."""
+    import random
+
+    from light_splade_spark.functions.analyzers import doc_terms
+
+    d = str(tmp_path / "scale_idx")
+    build_index(spark, docs, d, n_shards=4, n_buckets=4, n_salts=2,
+                n_shard_groups=1, weight_bits=8)
+    terms = [r.term for r in
+             doc_terms(docs).select("term").distinct().limit(400).collect()]
+    rng = random.Random(42)
+    qs = [(i, " ".join(rng.sample(terms, 3))) for i in range(10_000)]
+    qdf = spark.createDataFrame(qs, "qid BIGINT, text STRING")
+
+    # At 500-doc test scale AQE would (correctly) broadcast the tiny
+    # decoded side; disable size-based auto-broadcast so the plan we
+    # assert is the at-scale shape. The EXPLICIT broadcast() hints in the
+    # operator (terms dim, pruning semi-join) ignore the threshold — so
+    # this also proves the query side is never broadcast-HINTED.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    prev_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = score_index_join(spark, d, qdf, top_k=5)
+        rows = res.collect()  # bounded: <= 10k * top_k rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    # (c) plan shape, read AFTER execution so AQE's final plan is visible:
+    # the qt-side join with decoded postings is a shuffle join.
+    # BroadcastHashJoins exist (terms dim, pruning semi-join) but the
+    # decoded-postings contrib join must be SortMerge/ShuffledHash — the
+    # query side must never broadcast.
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+    # (a) completion: every query with >=1 matching term gets rows; counts
+    # bounded by top_k
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r.qid] = per_q.get(r.qid, 0) + 1
+    assert len(per_q) > 9000, len(per_q)
+    assert max(per_q.values()) <= 5
+
+    # (b) sampled rank-identity vs the WAND kernel on the same index
+    sample_ids = set(range(0, 10_000, 500))
+    sample = [q for q in qs if q[0] in sample_ids]
+    wand = _rows(wand_topk(spark, d, sample, top_k=5))
+    joined = sorted((r.qid, r.rank, r.doc_id, r.score)
+                    for r in rows if r.qid in sample_ids)
+    assert joined == wand and len(joined) > 0
