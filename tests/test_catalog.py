@@ -1,0 +1,78 @@
+"""Iceberg catalog routing: skip-paired on jar presence (PIL pattern).
+
+Exactly one of the two environment-dependent tests runs anywhere: the real
+catalog round-trip when the iceberg-spark-runtime jar is on the classpath,
+the loud-failure check when it is not. The parquet fallback test always
+runs. This sandbox ships no Iceberg jar (SURVEY gap, 3 rounds running), so
+here the round-trip records a SKIP — visible, not a silent pass.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from light_splade_spark.sources.catalog import (
+    CATALOG_CONF,
+    has_iceberg,
+    iceberg_jar_available,
+    iceberg_session_conf,
+    read_table,
+    write_table,
+)
+
+
+@pytest.fixture(scope="module")
+def jar_present(spark):
+    return iceberg_jar_available(spark)
+
+
+def test_parquet_fallback_roundtrip(spark, tmp_path):
+    """No catalog conf -> idents are parquet paths, partitioning honored."""
+    assert not has_iceberg(spark)
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).alias("bucket"))
+    path = str(tmp_path / "tbl")
+    write_table(df, path, partition_by=["bucket"])
+    back = read_table(spark, path)
+    assert back.count() == 100
+    # partition pruning works on the fallback layout
+    plan = back.where(F.col("bucket") == 1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "bucket" in plan
+
+
+def test_iceberg_roundtrip(spark, tmp_path, jar_present):
+    """Real catalog write/read via writeTo/read.table (runs only where the
+    iceberg runtime jar is present, e.g. spark-submit --packages)."""
+    if not jar_present:
+        pytest.skip("iceberg-spark-runtime jar not on classpath")
+    for k, v in iceberg_session_conf(
+            "lss_test", str(tmp_path / "warehouse")).items():
+        spark.conf.set(k, v)
+    try:
+        assert has_iceberg(spark)
+        df = spark.range(50).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 4).alias("bucket"))
+        write_table(df, "db.docs", partition_by=["bucket"])
+        back = read_table(spark, "db.docs")
+        assert back.count() == 50
+        assert set(back.columns) == {"doc_id", "bucket"}
+    finally:
+        spark.conf.unset(CATALOG_CONF)
+
+
+def test_configured_catalog_without_jar_is_loud(spark, jar_present):
+    """An explicitly configured catalog with no jar must raise, never
+    silently fall back to parquet (runs only where the jar is absent)."""
+    if jar_present:
+        pytest.skip("iceberg jar present; the loud-failure path can't fire")
+    for k, v in iceberg_session_conf("lss_missing").items():
+        spark.conf.set(k, v)
+    try:
+        with pytest.raises(RuntimeError, match="not on the JVM classpath"):
+            read_table(spark, "db.docs")
+        with pytest.raises(RuntimeError, match="not on the JVM classpath"):
+            has_iceberg(spark)
+    finally:
+        spark.conf.unset(CATALOG_CONF)

@@ -185,21 +185,28 @@ def run_query(cores: str) -> dict:
     from light_splade_spark.index.wand import wand_topk
 
     n_q = int(os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "30000"))
+    # warm-up exists to reach the steady state of a query service (JVM
+    # codegen, Python workers, terms-dim read) — that state is size-
+    # independent, so large ladders cap it at 10k instead of doubling
+    # every repetition (disclosed in the output as warmup_queries)
+    warm_q = int(os.environ.get("SPARK_GRAFT_WARMUP_QUERIES",
+                                str(min(n_q, 10_000))))
     idx = os.environ["SPARK_GRAFT_PROTO_IDX"]
     spark = _get_spark(cores, f"query-{cores}")
 
-    def batch(tag: int):
+    def batch(tag: int, nq: int):
         qs = [(tag * 10 ** 6 + i,
                f"t{(7 * i) % 30000:05d} t{(13 * i) % 30000:05d} "
                f"t{(29 * i) % 30000:05d} t{(41 * i) % 30000:05d}")
-              for i in range(n_q)]
+              for i in range(nq)]
         wand_topk(spark, idx, qs, top_k=10, mode="bmw") \
             .write.format("noop").mode("overwrite").save()
 
-    batch(0)  # warm-up: JVM codegen, Python workers, terms cache
-    sec = _timed(lambda: batch(1))
+    batch(0, warm_q)
+    sec = _timed(lambda: batch(1, n_q))
     spark.stop()
-    return {"sec": round(sec, 2), "qps": round(n_q / sec, 1)}
+    return {"sec": round(sec, 2), "qps": round(n_q / sec, 1),
+            "warmup_queries": warm_q}
 
 
 STAGES = {"control": run_control, "control_cpu": run_control_cpu,
