@@ -558,6 +558,95 @@ def q_wordpiece_multichar(spark, sf_dir):
         "doc_id", F.posexplode(wp.spark_tokens("text")).alias("pos", "piece"))
 
 
+# deterministic eval-triplet derivation shared by the Spark query and the
+# DuckDB oracle: 64 queries (text = first 80 chars of doc qid), pos = the
+# doc itself, neg = doc (qid*7+3) % 500, batches of 8 (the trainer's
+# fixed-bs batching), integer-arithmetic teacher scores.
+LOSS_N_QUERIES, LOSS_BS, LOSS_NEG_MOD = 64, 8, 500
+
+
+def q_training_losses(spark, sf_dir):
+    """Eval-time values of the reference's training objectives (§2.9/A7:
+    pairwise contrastive, margin MSE, 2-way KL divergence, in-batch
+    negatives with the off-diagonal trick), computed as distributed
+    aggregations over a deterministic triplet set scored by the exact
+    qtf*tf dot (reference losses/*.py, trainer/splade_trainer.py:269-277;
+    see operators/losses.py for formula provenance)."""
+    from light_splade_spark.functions.analyzers import doc_terms, query_terms
+    from light_splade_spark.operators import losses as L
+
+    docs = _docs(spark, sf_dir)
+    q = docs.where(F.col("doc_id") < LOSS_N_QUERIES).select(
+        F.col("doc_id").alias("qid"),
+        F.floor(F.col("doc_id") / LOSS_BS).alias("batch_id"),
+        F.substring("text", 1, 80).alias("qtext"),
+        ((F.col("doc_id") * 7 + 3) % LOSS_NEG_MOD).alias("neg_id"),
+    )
+    qt = query_terms(q.select("qid", F.col("qtext").alias("text")))
+    dt = doc_terms(docs).select("doc_id", "term", "tf")
+    # all (query, doc) scores with any term overlap; pairs without overlap
+    # are dense zeros, restored by coalesce after the left join
+    raw = (qt.join(dt, "term")
+           .groupBy("qid", "doc_id")
+           .agg(F.sum(F.col("qtf") * F.col("tf"))
+                .cast("double").alias("s")))
+
+    def with_score(pairs, doc_col):
+        p = pairs.join(
+            raw.withColumnRenamed("doc_id", doc_col).withColumnRenamed(
+                "s", "_s"),
+            ["qid", doc_col], "left")
+        return p.withColumn("score", F.coalesce("_s", F.lit(0.0))).drop("_s")
+
+    scored = with_score(
+        q.select("batch_id", "qid", F.col("qid").alias("pos_doc")),
+        "pos_doc").withColumnRenamed("score", "pos_score")
+    scored = scored.join(
+        with_score(q.select("qid", F.col("neg_id").alias("neg_doc")),
+                   "neg_doc").select("qid",
+                                     F.col("score").alias("neg_score")),
+        "qid")
+    scored = scored.select(
+        "batch_id", "qid", "pos_score", "neg_score",
+        (((F.col("qid") * 13) % 97) / 10.0).alias("teacher_pos_score"),
+        (((F.col("qid") * 29) % 83) / 10.0).alias("teacher_neg_score"))
+    # dense (bs, bs) per-batch cross matrix: every (query, positive-of-j)
+    a = q.select("batch_id", "qid")
+    b = q.select("batch_id", F.col("qid").alias("j"))
+    cross = with_score(a.join(b, "batch_id")
+                       .select("batch_id", "qid", "j",
+                               F.col("j").alias("pos_doc")), "pos_doc") \
+        .select("batch_id", "qid", "j", "score")
+
+    row = (
+        L.pairwise_contrastive_loss(scored)
+        .select(F.col("loss").alias("pairwise"))
+        .crossJoin(L.margin_mse_loss(scored)
+                   .select(F.col("loss").alias("margin_mse")))
+        .crossJoin(L.kldiv_loss(scored)
+                   .select(F.col("loss").alias("kldiv")))
+        .crossJoin(L.in_batch_negatives_loss(cross, scored)
+                   .select(F.col("loss").alias("in_batch")))
+    )
+    return row
+
+
+def q_flops_reg(spark, sf_dir):
+    """Sparsity regularizers over the pseudo-encoder expansion of a 30-doc
+    batch: FLOPS = sum_term (mean_batch |w|)^2 (reference
+    regularizer/flops.py:34-44, Eq 4) and mean-L1 = mean_rows sum |w|
+    (regularizer/l1.py:28-38) — the penalties a SPLADE trainer monitors."""
+    from light_splade_spark.functions.analyzers import splade_expansion
+    from light_splade_spark.operators.losses import (
+        flops_regularizer,
+        l1_regularizer,
+    )
+
+    exp = splade_expansion(_docs(spark, sf_dir).where(F.col("doc_id") < 30))
+    return flops_regularizer(exp, n_batch=30).crossJoin(
+        l1_regularizer(exp, n_batch=30))
+
+
 def q_dup_components(spark, sf_dir):
     """Connected components over the verified near-dup pair graph —
     iterative min-label propagation, oracle = DuckDB recursive CTE."""
@@ -685,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": q_frame_samples,
         "wordpiece_tokens": q_wordpiece_tokens,
         "wordpiece_multichar": q_wordpiece_multichar,
+        "training_losses": q_training_losses,
+        "flops_reg": q_flops_reg,
         "dup_components": q_dup_components,
         "splade_expansion": q_splade_expansion,
         "doc_topterms": q_doc_topterms,
@@ -1186,6 +1277,90 @@ FROM p
 
     o["wordpiece_multichar"] = f"""
 SELECT doc_id, pos, piece FROM read_parquet('{WP_TOKEN_TABLE}')
+"""
+
+    def _ls2(a, b):
+        # 2-way log_softmax of a within (a, b), max-shifted (DuckDB SQL)
+        g = f"greatest({a},{b})"
+        return f"({a} - ({g} + ln(exp({a}-{g}) + exp({b}-{g}))))"
+
+    _qtok = bm25_sql.tokens_sql("substr(text,1,80)")
+    o["training_losses"] = f"""
+WITH q AS (
+  SELECT doc_id AS qid, doc_id // {LOSS_BS} AS batch_id,
+         (doc_id * 7 + 3) % {LOSS_NEG_MOD} AS neg_id,
+         {_qtok} AS qtoks
+  FROM documents WHERE doc_id < {LOSS_N_QUERIES}),
+qtc AS (
+  SELECT qid, term, count(*) AS qtf
+  FROM (SELECT qid, unnest(qtoks) AS term FROM q) GROUP BY 1, 2),
+dtc AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+  GROUP BY 1, 2),
+raw AS (
+  SELECT qtc.qid, dtc.doc_id AS doc, CAST(sum(qtf * tf) AS DOUBLE) AS s
+  FROM qtc JOIN dtc ON qtc.term = dtc.term GROUP BY 1, 2),
+sc AS (
+  SELECT a.batch_id, a.qid,
+         coalesce(rp.s, 0) AS pos_score, coalesce(rn.s, 0) AS neg_score,
+         ((a.qid * 13) % 97) / 10.0 AS tp,
+         ((a.qid * 29) % 83) / 10.0 AS tn
+  FROM q a
+  LEFT JOIN raw rp ON rp.qid = a.qid AND rp.doc = a.qid
+  LEFT JOIN raw rn ON rn.qid = a.qid AND rn.doc = a.neg_id),
+cross_m AS (
+  SELECT a.batch_id, a.qid, b.qid AS j, coalesce(r.s, 0) AS score
+  FROM q a JOIN q b ON a.batch_id = b.batch_id
+  LEFT JOIN raw r ON r.qid = a.qid AND r.doc = b.qid),
+logits AS (
+  SELECT batch_id, qid, score FROM cross_m
+  UNION ALL SELECT batch_id, qid, neg_score FROM sc),
+mx AS (SELECT batch_id, qid, max(score) AS m FROM logits GROUP BY 1, 2),
+lse AS (
+  SELECT l.batch_id, l.qid, mx.m + ln(sum(exp(l.score - mx.m))) AS lse
+  FROM logits l JOIN mx ON l.batch_id = mx.batch_id AND l.qid = mx.qid
+  GROUP BY 1, 2, mx.m),
+perq AS (
+  SELECT lse.batch_id, lse.lse - c.score AS ql
+  FROM lse JOIN cross_m c ON c.qid = lse.qid AND c.j = lse.qid),
+perb AS (SELECT batch_id, avg(ql) AS bl FROM perq GROUP BY 1),
+klrows AS (
+  SELECT {_ls2('pos_score', 'neg_score')} AS spl,
+         {_ls2('neg_score', 'pos_score')} AS snl,
+         {_ls2('tp', 'tn')} AS tpl,
+         {_ls2('tn', 'tp')} AS tnl
+  FROM sc)
+SELECT
+  (SELECT round(avg(greatest(neg_score - pos_score, 0)
+                    + ln(1 + exp(-abs(neg_score - pos_score)))), 4)
+   FROM sc) AS pairwise,
+  (SELECT round(avg(pow((pos_score - neg_score) - (tp - tn), 2)), 4)
+   FROM sc) AS margin_mse,
+  (SELECT round(avg(exp(tpl) * (tpl - spl) + exp(tnl) * (tnl - snl)), 4)
+   FROM klrows) AS kldiv,
+  (SELECT round(avg(bl), 4) FROM perb) AS in_batch
+"""
+
+    o["flops_reg"] = f"""
+WITH d AS (SELECT doc_id, {_TOK} AS t FROM documents WHERE doc_id < 30),
+pw AS (
+  SELECT doc_id, unnest(list_transform(range(0, len(t)), i -> {{
+    'term': t[i + 1],
+    'wp': ln(1 + greatest(
+      ((('0x' || substr(md5(t[i + 1] || '#' || i), 1, 15))::BIGINT % 1000)
+        / 250.0 - 2.0), 0.0))
+  }})) AS s
+  FROM d),
+exp_tbl AS (
+  SELECT doc_id, s.term AS term, round(max(s.wp), 4) AS weight
+  FROM pw GROUP BY doc_id, s.term
+  HAVING round(max(s.wp), 4) > 0),
+per_term AS (
+  SELECT term, pow(sum(abs(weight)) / 30.0, 2) AS sq
+  FROM exp_tbl GROUP BY term)
+SELECT (SELECT round(sum(sq), 4) FROM per_term) AS flops,
+       (SELECT round(sum(abs(weight)) / 30.0, 4) FROM exp_tbl) AS l1
 """
 
     from light_splade_spark.functions.analyzers import tokens_sql_v2
