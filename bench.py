@@ -102,6 +102,24 @@ def run_suite(master: str, shuffle_partitions: int = 32) -> dict:
     q["ranking_metrics"], _ = _timed(lambda: _noop(
         entry.q_ranking_metrics(spark, SF_DIR)))
 
+    # analyzer throughput extras: the JVM-codegen v1 tokenizer vs the
+    # wordpiece-v4 Arrow UDF (vocab greedy matching is the one Python hot
+    # path; this quantifies the UDF tax the docs discuss)
+    from light_splade_spark.functions.analyzers import doc_tokens
+    from light_splade_spark.functions.wordpiece import (
+        SINGLE_CHAR_VOCAB,
+        make_wordpiece_analyzer,
+    )
+    wp = make_wordpiece_analyzer(SINGLE_CHAR_VOCAB)
+    sample = docs.limit(2000)
+    n_sample = sample.count()
+    t_v1, _ = _timed(lambda: _noop(
+        doc_tokens(sample).select("doc_id", "dl")))
+    t_wp, _ = _timed(lambda: _noop(
+        doc_tokens(sample, analyzer=wp).select("doc_id", "dl")))
+    extras["tokenize_v1_docs_per_sec"] = round(n_sample / t_v1, 1)
+    extras["tokenize_wp4_docs_per_sec"] = round(n_sample / t_wp, 1)
+
     spark.stop()
     return {"queries": {k: round(v, 3) for k, v in q.items()}, "extras": extras}
 
