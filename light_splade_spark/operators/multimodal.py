@@ -11,9 +11,11 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 * ``decoder="real"`` — actual decoding behind OPTIONAL imports resolved at
   module load: images via PIL when installed (grayscale thumbnail mean
   pixels), audio via the stdlib ``wave`` module (per-segment RMS over PCM
-  frames — works everywhere, no extra dependency), video frames via
-  PIL/ffmpeg when available. A kind whose decoder is missing raises
-  NotImplementedError naming the missing library — never a silent fake.
+  frames — works everywhere, no extra dependency), video via the
+  pure-stdlib RIFF/AVI demuxer (operators/riff_avi.py: BI_RGB frames
+  decode with numpy alone; MJPG frames via PIL; per-frame grayscale means
+  over evenly-sampled frames). A kind/codec whose decoder is missing
+  raises NotImplementedError naming what's absent — never a silent fake.
 """
 
 from __future__ import annotations
@@ -88,11 +90,20 @@ def _real_decode_audio(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def _real_decode_video(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    # video frames need ffmpeg/PyAV, neither of which is a light optional;
-    # probed the same way PIL is when one becomes available
-    raise NotImplementedError(
-        "real video decode requires ffmpeg/PyAV; not installed in this "
-        "environment — use decoder='fake' or frame_sample for timestamps")
+    """RIFF/AVI decode via the pure-stdlib demuxer (operators/riff_avi.py):
+    per-frame grayscale means over ``dim`` evenly-sampled frames. BI_RGB
+    frames decode with numpy alone (runs everywhere, no ffmpeg); MJPG
+    frames route through PIL when installed; other codecs/containers raise
+    NotImplementedError naming what is missing — never a silent fake."""
+    from light_splade_spark.operators.riff_avi import AviError, video_features
+
+    try:
+        return video_features(bytes(payload), dim)
+    except AviError as e:
+        raise NotImplementedError(
+            f"video payload is not RIFF/AVI ({e}); non-AVI containers "
+            "require ffmpeg/PyAV, which are not installed — use "
+            "decoder='fake' or repack as AVI") from e
 
 
 _REAL_DECODERS = {

@@ -1,0 +1,161 @@
+"""Pure-stdlib RIFF/AVI demuxer + uncompressed-frame decoder.
+
+The AVI container is a public RIFF format (Microsoft "AVI RIFF File
+Reference"): a chunk tree of (fourcc, size, payload) with LIST nodes.
+Walking it needs only ``struct`` — no ffmpeg/PyAV — which turns the video
+decode path from an environment-limited ``NotImplementedError`` into a
+real decoder for the two codec cases a dependency-free engine can own:
+
+* ``BI_RGB`` (uncompressed bottom-up DIB frames, ``##db`` chunks):
+  decoded straight to numpy grayscale here;
+* ``MJPG`` (``##dc`` chunks are plain JPEG images): bytes handed to PIL
+  when installed, the same optional-import contract as the image path.
+
+Anything else raises NotImplementedError naming the codec — never a
+silent fake.
+
+Layout parsed (chunks are word-aligned; odd sizes carry a pad byte):
+
+    RIFF <size> 'AVI '
+      LIST 'hdrl'
+        'avih' <56>  main header: us/frame, total frames, width, height
+        LIST 'strl'
+          'strh' <56> stream header: fccType ('vids'), fccHandler
+          'strf' <40+> BITMAPINFOHEADER: width, height, bitcount, compression
+      LIST 'movi'
+        '00db'/'00dc' <frame bytes> ...
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class AviError(ValueError):
+    """Payload is not a parseable RIFF/AVI stream."""
+
+
+def _u32(b: bytes, off: int) -> int:
+    return struct.unpack_from("<I", b, off)[0]
+
+
+def _walk(b: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for sibling chunks in [start, end);
+    LIST chunks yield ('LIST:<type>', ...) with the body excluding the type."""
+    off = start
+    while off + 8 <= end:
+        fourcc = b[off:off + 4].decode("latin-1")
+        size = _u32(b, off + 4)
+        body = off + 8
+        if body + size > end:
+            raise AviError(f"chunk {fourcc!r} overruns container")
+        if fourcc == "LIST":
+            ltype = b[body:body + 4].decode("latin-1")
+            yield f"LIST:{ltype}", body + 4, body + size
+        else:
+            yield fourcc, body, body + size
+        off = body + size + (size & 1)  # word alignment
+
+
+def parse_avi(payload: bytes) -> dict:
+    """-> {width, height, n_frames, us_per_frame, codec, frames: [bytes]}.
+
+    ``codec`` is the strf biCompression fourcc ('\\0'*4 == BI_RGB reported
+    as 'RGB '); ``frames`` are the stream-0 video chunk payloads in file
+    order ('##db' uncompressed / '##dc' compressed).
+    """
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise AviError("payload is not a RIFF/AVI container")
+    info: dict = {"width": 0, "height": 0, "n_frames": 0,
+                  "us_per_frame": 0, "codec": None, "frames": []}
+    in_vids = False
+    for cc, s, e in _walk(b, 12, min(len(b), 8 + _u32(b, 4))):
+        if cc == "LIST:hdrl":
+            for hcc, hs, he in _walk(b, s, e):
+                if hcc == "avih":
+                    (uspf, _mbps, _pad, _flags, total, _init, _streams,
+                     _sug, w, h) = struct.unpack_from("<10I", b, hs)
+                    info.update(us_per_frame=uspf, n_frames=total,
+                                width=w, height=h)
+                elif hcc == "LIST:strl":
+                    for scc, ss, se in _walk(b, hs, he):
+                        if scc == "strh":
+                            in_vids = b[ss:ss + 4] == b"vids"
+                        elif scc == "strf" and in_vids:
+                            # BITMAPINFOHEADER: biSize, biWidth, biHeight,
+                            # biPlanes, biBitCount, biCompression
+                            (_bisz, biw, bih, _planes, bitcount,
+                             compression) = struct.unpack_from(
+                                 "<IiiHHI", b, ss)
+                            comp = struct.pack("<I", compression)
+                            info["codec"] = ("RGB " if compression == 0
+                                             else comp.decode("latin-1"))
+                            info["bitcount"] = bitcount
+                            # strf dims override avih when present
+                            info["width"] = biw or info["width"]
+                            info["height"] = abs(bih) or info["height"]
+                            info["bottom_up"] = bih > 0
+        elif cc == "LIST:movi":
+            for mcc, ms, me in _walk(b, s, e):
+                if mcc[2:] in ("db", "dc") and mcc[:2] == "00":
+                    info["frames"].append(b[ms:me])
+    if info["codec"] is None:
+        raise AviError("no video ('vids') stream found")
+    if not info["n_frames"]:
+        info["n_frames"] = len(info["frames"])
+    return info
+
+
+def decode_frame_gray(info: dict, frame: bytes) -> np.ndarray:
+    """One frame chunk -> float32 grayscale array (h, w) in [0, 1].
+
+    BI_RGB 24-bit: pure numpy (BGR rows padded to 4 bytes, bottom-up);
+    MJPG: the chunk is a JPEG image, decoded via PIL when installed.
+    """
+    w, h = info["width"], info["height"]
+    codec = info["codec"]
+    if codec == "RGB ":
+        if info.get("bitcount", 24) != 24:
+            raise NotImplementedError(
+                f"BI_RGB bitcount {info.get('bitcount')} not supported "
+                "(24-bit only)")
+        stride = ((w * 3 + 3) // 4) * 4
+        if len(frame) < stride * h:
+            raise AviError("frame chunk shorter than stride * height")
+        rows = np.frombuffer(frame[:stride * h], dtype=np.uint8)
+        rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if info.get("bottom_up", True):
+            rows = rows[::-1]
+        return rows.astype(np.float32).mean(axis=2) / 255.0
+    if codec in ("MJPG", "mjpg"):
+        try:
+            from PIL import Image
+        except ImportError:
+            raise NotImplementedError(
+                "MJPG frame decode requires Pillow (PIL); not installed — "
+                "re-encode as BI_RGB or install Pillow") from None
+        import io as _io
+        img = Image.open(_io.BytesIO(frame)).convert("L")
+        return np.asarray(img, dtype=np.float32) / 255.0
+    raise NotImplementedError(
+        f"AVI codec {codec!r} not supported without ffmpeg/PyAV "
+        "(supported here: BI_RGB 24-bit, MJPG via PIL)")
+
+
+def video_features(payload: bytes, dim: int) -> np.ndarray:
+    """Per-frame grayscale means over ``dim`` evenly-sampled frames — the
+    video analog of the image path's thumbnail means (temporal instead of
+    spatial pooling). Missing frames (short clips) pad with zeros."""
+    info = parse_avi(payload)
+    frames = info["frames"]
+    out = np.zeros(dim, dtype=np.float32)
+    if not frames:
+        return out
+    idx = np.linspace(0, len(frames) - 1, num=min(dim, len(frames)),
+                      dtype=np.int64)
+    for i, fi in enumerate(idx):
+        out[i] = float(decode_frame_gray(info, frames[fi]).mean())
+    return out

@@ -1,0 +1,125 @@
+"""RIFF/AVI demuxer + uncompressed-frame decode, end-to-end in pure stdlib.
+
+The fixture below WRITES a minimal valid AVI (RIFF header, hdrl with
+avih/strh/strf, movi with BI_RGB 24-bit bottom-up frames) with struct
+alone, then the demuxer must recover dims, frame count, codec, and exact
+pixel values — so the video path is tested for real in this container,
+no ffmpeg, no skip.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from light_splade_spark.operators.riff_avi import (
+    AviError,
+    decode_frame_gray,
+    parse_avi,
+    video_features,
+)
+
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _list(ltype: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", ltype + body)
+
+
+def make_avi(frames: list[np.ndarray], us_per_frame: int = 40000) -> bytes:
+    """Minimal BI_RGB 24-bit AVI from (h, w, 3) uint8 arrays (RGB order is
+    irrelevant to the grayscale decode — channels are averaged)."""
+    h, w = frames[0].shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    avih = struct.pack("<10I16x", us_per_frame, 0, 0, 0, len(frames), 0, 1,
+                       0, w, h)
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIi4H", 0, 0, 0, 0, 1,
+                                            25, 0, len(frames), 0, 0, -1,
+                                            0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                       0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh)
+                         + _chunk(b"strf", strf)))
+    movi_body = b""
+    for f in frames:
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up DIB row order
+            row = f[y].astype(np.uint8).tobytes()
+            rows.append(row + b"\x00" * (stride - len(row)))
+        movi_body += _chunk(b"00db", b"".join(rows))
+    movi = _list(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _gradient_frames(n: int, h: int = 8, w: int = 6) -> list[np.ndarray]:
+    out = []
+    for i in range(n):
+        v = int(255 * i / max(n - 1, 1))
+        out.append(np.full((h, w, 3), v, dtype=np.uint8))
+    return out
+
+
+def test_parse_and_decode_roundtrip():
+    frames = _gradient_frames(5)
+    payload = make_avi(frames)
+    info = parse_avi(payload)
+    assert (info["width"], info["height"]) == (6, 8)
+    assert info["n_frames"] == 5 and len(info["frames"]) == 5
+    assert info["codec"] == "RGB " and info["us_per_frame"] == 40000
+    for i, fb in enumerate(info["frames"]):
+        gray = decode_frame_gray(info, fb)
+        assert gray.shape == (8, 6)
+        want = int(255 * i / 4) / 255.0
+        assert gray.mean() == pytest.approx(want, abs=1e-6)
+
+
+def test_video_features_temporal_pooling():
+    payload = make_avi(_gradient_frames(10))
+    feats = video_features(payload, dim=5)
+    # 5 evenly-sampled frames of a 0->1 ramp: monotone nondecreasing,
+    # first (dark) < last (bright)
+    assert feats.shape == (5,)
+    assert feats[0] == pytest.approx(0.0, abs=1e-6)
+    assert feats[-1] == pytest.approx(1.0, abs=1e-6)
+    assert (np.diff(feats) >= -1e-6).all()
+    # short clip: frames < dim pads zeros at the tail
+    short = video_features(make_avi(_gradient_frames(2)), dim=6)
+    assert short[2:].sum() == 0.0
+
+
+def test_real_video_decoder_wired_into_multimodal():
+    from light_splade_spark.operators.multimodal import decode_features
+
+    payload = make_avi(_gradient_frames(4))
+    feats = decode_features(payload, "video", "real")
+    assert feats.shape == (16,)
+    assert feats[:4].max() > 0.9  # the bright last frame is sampled
+
+    # non-AVI bytes raise the named NotImplementedError, never a fake
+    with pytest.raises(NotImplementedError, match="ffmpeg/PyAV"):
+        decode_features(b"not a video", "video", "real")
+
+
+def test_unknown_codec_is_loud():
+    payload = bytearray(make_avi(_gradient_frames(2)))
+    i = payload.find(b"strf")
+    # biCompression lives 16 bytes into the strf body (after fourcc+size)
+    comp_off = i + 8 + 16
+    payload[comp_off:comp_off + 4] = struct.pack("<I", 0x34363248)  # 'H264'
+    info = parse_avi(bytes(payload))
+    with pytest.raises(NotImplementedError, match="H264"):
+        decode_frame_gray(info, info["frames"][0])
+
+
+def test_garbage_rejected():
+    with pytest.raises(AviError):
+        parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(AviError):
+        parse_avi(b"")
