@@ -209,3 +209,56 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                               "ts_ms": pd.Series(dtype="int64")})
 
     return media.mapInPandas(run, "media_id BIGINT, ts_ms BIGINT")
+
+
+EXTRACTED_FRAME_SCHEMA = ("media_id BIGINT, frame_idx INT, ts_ms BIGINT, "
+                          "gray_mean FLOAT, width INT, height INT")
+
+
+def extract_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame extraction from RIFF/AVI payloads (mapInPandas,
+    Arrow-batched): demux each video payload with the pure-stdlib parser
+    (operators/riff_avi.py), pick the frame nearest each ``every_ms``
+    timestamp from the container's own us_per_frame clock, decode it to
+    grayscale, and emit (frame_idx, ts_ms, gray_mean, dims) rows — the
+    payload-driven counterpart of ``frame_sample``'s metadata-only
+    timestamps. Non-video rows are passed over; a video payload that is
+    not AVI raises (never silently skipped)."""
+    from light_splade_spark.operators.riff_avi import (
+        decode_frame_gray,
+        parse_avi,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, means, ws, hs = [], [], [], [], [], []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "video" or r.payload is None:
+                    continue
+                info = parse_avi(bytes(r.payload))
+                frames = info["frames"]
+                if not frames:
+                    continue
+                us_pf = info["us_per_frame"] or 40000
+                dur_ms = len(frames) * us_pf / 1000.0
+                t = 0.0
+                while t < dur_ms:
+                    fi = min(int(t * 1000.0 / us_pf), len(frames) - 1)
+                    gray = decode_frame_gray(info, frames[fi])
+                    ids.append(r.media_id)
+                    idxs.append(fi)
+                    tss.append(int(t))
+                    means.append(float(gray.mean()))
+                    ws.append(info["width"])
+                    hs.append(info["height"])
+                    t += every_ms
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "ts_ms": pd.Series(tss, dtype="int64"),
+                "gray_mean": pd.Series(means, dtype="float32"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+            })
+
+    return media.mapInPandas(run, EXTRACTED_FRAME_SCHEMA)

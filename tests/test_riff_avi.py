@@ -123,3 +123,36 @@ def test_garbage_rejected():
         parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
     with pytest.raises(AviError):
         parse_avi(b"")
+
+
+def test_extract_frames_distributed(spark):
+    """The payload-real frame extractor runs as a distributed mapInPandas
+    stage over a DataFrame of AVI payloads built by the in-test writer."""
+    from light_splade_spark.operators.multimodal import extract_frames
+
+    rows = []
+    for mid, n_frames in ((0, 10), (1, 3)):
+        payload = make_avi(_gradient_frames(n_frames), us_per_frame=40000)
+        rows.append((mid, "video", bytearray(payload),
+                     (6, 8, n_frames * 40, "video/avi")))
+    rows.append((2, "image", bytearray(b"png..."), (1, 1, None, "image/png")))
+    media = spark.createDataFrame(
+        rows, "media_id BIGINT, kind STRING, payload BINARY, "
+              "meta STRUCT<width: INT, height: INT, duration_ms: INT, "
+              "mime: STRING>")
+    out = extract_frames(media, every_ms=120).collect()
+    by_id: dict[int, list] = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    # 10 frames x 40ms = 400ms -> samples at 0,120,240,360
+    assert len(by_id[0]) == 4
+    assert [r.ts_ms for r in by_id[0]] == [0, 120, 240, 360]
+    assert [r.frame_idx for r in by_id[0]] == [0, 3, 6, 9]
+    # brightness ramps with the gradient frames
+    g = [r.gray_mean for r in by_id[0]]
+    assert g[0] < g[-1] and all(r.width == 6 and r.height == 8
+                                for r in by_id[0])
+    # 3 frames x 40ms = 120ms -> sample at 0 only
+    assert len(by_id[1]) == 1 and by_id[1][0].ts_ms == 0
+    # image row contributes nothing
+    assert 2 not in by_id
