@@ -36,6 +36,13 @@ def main() -> None:
     p.add_argument("--analyzer", default="ls-spark-1",
                    help="analyzer version (ls-spark-1 ASCII; ls-spark-2 "
                         "adds CJK character bigrams for Japanese corpora)")
+    p.add_argument("--wordpiece-vocab", default=None, metavar="PATH",
+                   help="build with the WordPiece v4 analyzer using this "
+                        "vocab file (one piece per line, or a JSON list — "
+                        "the reference ships its tokenizer as files the "
+                        "same way); overrides --analyzer. The vocab is "
+                        "persisted inside the index dir, so query jobs "
+                        "need no flag.")
     p.add_argument("--extract-html", action="store_true",
                    help="derive text from the html BINARY column and doc ids "
                         "from url (Common-Crawl-shaped input)")
@@ -51,6 +58,18 @@ def main() -> None:
     from light_splade_spark.index.build import build_index
     from light_splade_spark.plans.stats import with_dense_id
 
+    if args.wordpiece_vocab:
+        from light_splade_spark.functions.wordpiece import (
+            make_wordpiece_analyzer,
+        )
+        with open(args.wordpiece_vocab) as f:
+            head = f.read().lstrip()
+        vocab = (json.loads(head) if head.startswith("[")
+                 else [ln for ln in head.splitlines() if ln])
+        analyzer = make_wordpiece_analyzer(vocab)
+    else:
+        analyzer = get_analyzer(args.analyzer)
+
     docs = spark.read.parquet(args.input)
     if args.extract_html:
         docs = docs.withColumn("text", extract_text_udf("html"))
@@ -63,7 +82,7 @@ def main() -> None:
         n_buckets=args.n_buckets, n_salts=args.n_salts,
         n_shard_groups=args.n_shard_groups, run_size=args.run_size,
         weight_bits=args.weight_bits, resume=args.resume,
-        analyzer=get_analyzer(args.analyzer),
+        analyzer=analyzer,
     )
     print(json.dumps({"status": man.status, "n_docs": man.n_docs,
                       "avgdl": man.avgdl, "n_shards": man.n_shards,
