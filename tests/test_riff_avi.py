@@ -156,3 +156,25 @@ def test_extract_frames_distributed(spark):
     assert len(by_id[1]) == 1 and by_id[1][0].ts_ms == 0
     # image row contributes nothing
     assert 2 not in by_id
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 17), st.integers(1, 9),
+       st.integers(1, 200))
+def test_avi_writer_parser_roundtrip_properties(n, w, h, seed):
+    """Random dims (odd widths exercise row padding and chunk alignment),
+    random pixel content: parse recovers exact geometry and every frame's
+    exact grayscale values."""
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+              for _ in range(n)]
+    info = parse_avi(make_avi(frames))
+    assert (info["width"], info["height"], len(info["frames"])) == (w, h, n)
+    for f, fb in zip(frames, info["frames"]):
+        got = decode_frame_gray(info, fb)
+        want = f.astype(np.float32).mean(axis=2) / 255.0
+        assert np.allclose(got, want, atol=1e-6)
