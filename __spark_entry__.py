@@ -469,7 +469,11 @@ def q_wordpiece_tokens(spark, sf_dir):
 # force nontrivial greedy longest-match decisions on the corpus vocabulary
 # (e.g. "value" whole-word vs "val"+"##ue", "que"+"##ry" vs "qu"+...).
 WP_MULTICHAR_VOCAB: tuple = None  # built lazily below (needs the import)
-WP_TOKEN_TABLE = "/tmp/lss_wp4_multichar_tokens.parquet"
+# pid-keyed so concurrent harness runs (e.g. two check_oracle processes at
+# different sf dirs) never read each other's token table; within one
+# process the harness runs the query before its oracle, so the table the
+# oracle reads is always the one this process's query just wrote
+WP_TOKEN_TABLE = f"/tmp/lss_wp4_multichar_tokens_{os.getpid()}.parquet"
 
 
 def _wp_multichar_vocab():

@@ -277,9 +277,8 @@ def _ensure_scale_index(n_docs: int) -> str:
 
 
 def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+    import statistics
+    return statistics.median(xs)
 
 
 def run_suite_median(n_runs: int) -> dict:

@@ -63,9 +63,16 @@ def main() -> None:
             make_wordpiece_analyzer,
         )
         with open(args.wordpiece_vocab) as f:
-            head = f.read().lstrip()
-        vocab = (json.loads(head) if head.startswith("[")
-                 else [ln for ln in head.splitlines() if ln])
+            body = f.read()
+        # a line-format vocab may itself start with '[' ([PAD]/[UNK] head,
+        # the standard BERT vocab.txt layout) — only treat the file as JSON
+        # if it actually parses as a list
+        try:
+            vocab = json.loads(body)
+            if not isinstance(vocab, list):
+                raise ValueError("vocab JSON must be a list")
+        except json.JSONDecodeError:
+            vocab = [ln for ln in body.splitlines() if ln]
         analyzer = make_wordpiece_analyzer(vocab)
     else:
         analyzer = get_analyzer(args.analyzer)

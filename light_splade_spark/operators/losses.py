@@ -156,9 +156,12 @@ def quadratic_lambda(step: int, initial_lambda: float,
     regularizer/regularizer_scheduler.py:44-75): lambda ramps as
     (step / T)^2, capped at initial_lambda once step >= T. A pure scalar —
     exposed so combined_loss callers can weight regularizers per step the
-    way the trainer does."""
-    return min(initial_lambda,
-               initial_lambda * ((step / warmup_steps) ** 2))
+    way the trainer does. ``warmup_steps <= 0`` means no warmup: lambda is
+    at full strength from step 0 (the cap semantics, without the division
+    the naive formula would attempt)."""
+    if warmup_steps <= 0 or step >= warmup_steps:
+        return initial_lambda
+    return initial_lambda * ((step / warmup_steps) ** 2)
 
 
 def combined_loss(losses: list[DataFrame], flops_q: DataFrame,

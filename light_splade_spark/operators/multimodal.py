@@ -218,9 +218,10 @@ EXTRACTED_FRAME_SCHEMA = ("media_id BIGINT, frame_idx INT, ts_ms BIGINT, "
 def extract_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """REAL frame extraction from RIFF/AVI payloads (mapInPandas,
     Arrow-batched): demux each video payload with the pure-stdlib parser
-    (operators/riff_avi.py), pick the frame nearest each ``every_ms``
-    timestamp from the container's own us_per_frame clock, decode it to
-    grayscale, and emit (frame_idx, ts_ms, gray_mean, dims) rows — the
+    (operators/riff_avi.py), pick the frame ON DISPLAY at each ``every_ms``
+    timestamp (floor by the container's own us_per_frame clock — standard
+    video sampling semantics), decode it to grayscale, and emit
+    (frame_idx, ts_ms, gray_mean, dims) rows — the
     payload-driven counterpart of ``frame_sample``'s metadata-only
     timestamps. Non-video rows are passed over; a video payload that is
     not AVI raises (never silently skipped)."""

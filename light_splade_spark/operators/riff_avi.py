@@ -71,7 +71,10 @@ def parse_avi(payload: bytes) -> dict:
         raise AviError("payload is not a RIFF/AVI container")
     info: dict = {"width": 0, "height": 0, "n_frames": 0,
                   "us_per_frame": 0, "codec": None, "frames": []}
+    stream_idx = -1          # strl order defines the '##' chunk prefix
+    vids_idx: int | None = None  # which stream index is the video stream
     in_vids = False
+    movi_ranges: list[tuple[int, int]] = []
     for cc, s, e in _walk(b, 12, min(len(b), 8 + _u32(b, 4))):
         if cc == "LIST:hdrl":
             for hcc, hs, he in _walk(b, s, e):
@@ -81,9 +84,12 @@ def parse_avi(payload: bytes) -> dict:
                     info.update(us_per_frame=uspf, n_frames=total,
                                 width=w, height=h)
                 elif hcc == "LIST:strl":
+                    stream_idx += 1
                     for scc, ss, se in _walk(b, hs, he):
                         if scc == "strh":
                             in_vids = b[ss:ss + 4] == b"vids"
+                            if in_vids and vids_idx is None:
+                                vids_idx = stream_idx
                         elif scc == "strf" and in_vids:
                             # BITMAPINFOHEADER: biSize, biWidth, biHeight,
                             # biPlanes, biBitCount, biCompression
@@ -99,11 +105,27 @@ def parse_avi(payload: bytes) -> dict:
                             info["height"] = abs(bih) or info["height"]
                             info["bottom_up"] = bih > 0
         elif cc == "LIST:movi":
-            for mcc, ms, me in _walk(b, s, e):
-                if mcc[2:] in ("db", "dc") and mcc[:2] == "00":
-                    info["frames"].append(b[ms:me])
-    if info["codec"] is None:
+            movi_ranges.append((s, e))
+    if info["codec"] is None or vids_idx is None:
         raise AviError("no video ('vids') stream found")
+    prefix = f"{vids_idx:02d}"  # e.g. '01dc' when audio is stream 0
+
+    def collect(start: int, end: int) -> None:
+        for mcc, ms, me in _walk(b, start, end):
+            if mcc == "LIST:rec ":  # interleaved record grouping
+                collect(ms, me)
+            elif mcc[:2] == prefix and mcc[2:] in ("db", "dc"):
+                info["frames"].append(b[ms:me])
+
+    for s, e in movi_ranges:
+        collect(s, e)
+    if not info["frames"]:
+        # a vids stream was declared but no frame chunks matched — a codec
+        # /layout this parser doesn't cover. Raising keeps the module's
+        # 'never a silent fake' contract (zeros would be wrong-but-plausible)
+        raise AviError(
+            f"vids stream {vids_idx} declared but no '{prefix}db'/'{prefix}"
+            f"dc' frame chunks found in movi")
     if not info["n_frames"]:
         info["n_frames"] = len(info["frames"])
     return info

