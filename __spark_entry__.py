@@ -407,6 +407,67 @@ def q_frame_samples(spark, sf_dir):
     return frame_sample(media, every_ms=1000)
 
 
+# Q:extracted_frames synthesis parameters — every payload property is a
+# closed form of doc_id so the DuckDB oracle needs no decoding: frame i of
+# video doc_id is a (HEIGHT, WIDTH, 3) BI_RGB frame whose row y has the
+# constant value BASE(doc_id, i) + y, with BASE < 200 so adding y never
+# wraps. gray_mean*510 is then the INTEGER 2*BASE + (height-1) — immune to
+# float32-vs-double rounding at the driver's hash compare.
+AVI_US_PF = 40000  # 25 fps
+
+
+def _media_avi(spark, sf_dir):
+    """Media table whose video payloads are REAL deterministic BI_RGB AVIs
+    (riff_avi.write_avi), built distributed in a mapInPandas stage."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).where(
+        (F.col("doc_id") < 200) & (F.col("doc_id") % 3 == 2)
+    ).select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+
+        from light_splade_spark.operators.riff_avi import write_avi
+
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n, w, h = 2 + did % 9, 4 + did % 4, 3 + did % 3
+                frames = []
+                for i in range(n):
+                    base = (did * 31 + i * 17) % 200
+                    col = (base + np.arange(h, dtype=np.uint8))[:, None]
+                    frames.append(
+                        np.broadcast_to(col[:, :, None], (h, w, 3)).copy())
+                ids.append(did)
+                kinds.append("video")
+                payloads.append(write_avi(frames, us_per_frame=AVI_US_PF))
+                metas.append((w, h, n * AVI_US_PF // 1000, "video/avi"))
+            yield pd.DataFrame({"media_id": ids, "kind": kinds,
+                                "payload": payloads, "meta": metas})
+
+    from light_splade_spark.operators.multimodal import MEDIA_SCHEMA
+    return d.mapInPandas(synth, MEDIA_SCHEMA)
+
+
+def q_extracted_frames(spark, sf_dir):
+    """Payload-REAL video frame extraction end-to-end (VERDICT r4 item 2):
+    synthesize deterministic BI_RGB AVIs distributed, demux + decode each
+    with the pure-stdlib parser (operators/riff_avi.py), sample the frame
+    on display every 120 ms, and emit its exact gray level — the oracle is
+    the closed-form synthesis arithmetic, so a wrong stride, frame order,
+    us_per_frame clock, or channel mean shows up as a hash mismatch."""
+    from light_splade_spark.operators.multimodal import extract_frames
+
+    ef = extract_frames(_media_avi(spark, sf_dir), every_ms=120)
+    return ef.select(
+        "media_id", "frame_idx", "ts_ms", "width", "height",
+        F.round(F.col("gray_mean") * 510).cast("int").alias("gray2x"),
+    )
+
+
 def q_cjk_tokens(spark, sf_dir):
     """CJK analyzer v2 (F3, reference models/splade.py:237-245 — the
     Japanese-first tokenize path): documents text is deterministically
@@ -469,11 +530,6 @@ def q_wordpiece_tokens(spark, sf_dir):
 # force nontrivial greedy longest-match decisions on the corpus vocabulary
 # (e.g. "value" whole-word vs "val"+"##ue", "que"+"##ry" vs "qu"+...).
 WP_MULTICHAR_VOCAB: tuple = None  # built lazily below (needs the import)
-# pid-keyed so concurrent harness runs (e.g. two check_oracle processes at
-# different sf dirs) never read each other's token table; within one
-# process the harness runs the query before its oracle, so the table the
-# oracle reads is always the one this process's query just wrote
-WP_TOKEN_TABLE = f"/tmp/lss_wp4_multichar_tokens_{os.getpid()}.parquet"
 
 
 def _wp_multichar_vocab():
@@ -492,71 +548,17 @@ def _wp_multichar_vocab():
 
 def q_wordpiece_multichar(spark, sf_dir):
     """General-vocab WordPiece with real multi-char ``##`` merges,
-    hash-checked end-to-end (VERDICT r3 item 7). Greedy longest-match has
-    no inline-SQL closed form, so the oracle reads a token table this
-    function precomputes with an INDEPENDENT mirror: DuckDB's basic-token
-    SQL (wordpiece_basic_tokens_sql — not the Python kernel) + a
-    regex-alternation WordPiece (longest-first alternation == greedy
-    longest-match, a different mechanism than the kernel's suffix loop).
-    The Spark side runs the distributed Arrow-UDF analyzer; the driver
-    hash-compares the two token streams row-for-row."""
-    import re as _re
+    hash-checked end-to-end (VERDICT r3 item 7). The Spark side runs the
+    distributed Arrow-UDF analyzer; the oracle is self-contained pure SQL
+    (no side files, no ordering dependency — ADVICE r4): DuckDB basic
+    tokens (wordpiece_basic_tokens_sql) + a recursive-CTE greedy
+    longest-match over the inlined vocab (each recursion step LEFT JOIN
+    LATERALs the longest matching piece — a different mechanism than the
+    kernel's shrinking-suffix loop). The driver hash-compares the two
+    token streams row-for-row."""
+    from light_splade_spark.functions.wordpiece import make_wordpiece_analyzer
 
-    import duckdb as _dd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from light_splade_spark.functions.wordpiece import (
-        MAX_WORD_CHARS,
-        UNK,
-        make_wordpiece_analyzer,
-        wordpiece_basic_tokens_sql,
-    )
-
-    vocab = _wp_multichar_vocab()
-    wp = make_wordpiece_analyzer(vocab)
-
-    # -- independent mirror: DuckDB basic tokens + regex-alternation greedy
-    starts = sorted((v for v in vocab if not v.startswith("##")),
-                    key=len, reverse=True)
-    conts = sorted((v[2:] for v in vocab if v.startswith("##")),
-                   key=len, reverse=True)
-    start_re = _re.compile("|".join(map(_re.escape, starts)))
-    cont_re = _re.compile("|".join(map(_re.escape, conts)))
-
-    def alt_wordpiece(word: str) -> list:
-        # Python re alternation returns the FIRST matching branch; with
-        # branches sorted longest-first that is greedy longest-match.
-        if len(word) > MAX_WORD_CHARS:
-            return [UNK]
-        out, i = [], 0
-        while i < len(word):
-            m = (start_re if i == 0 else cont_re).match(word, i)
-            if m is None or m.end() == i:
-                return [UNK]
-            out.append(word[i:m.end()] if i == 0 else "##" + word[i:m.end()])
-            i = m.end()
-        return out
-
-    basics = _dd.connect().execute(
-        f"select doc_id, {wordpiece_basic_tokens_sql('text')} as ws "
-        f"from '{sf_dir}/documents.parquet' where doc_id < 100 "
-        f"order by doc_id").fetchall()
-    ids, poss, pieces = [], [], []
-    for did, ws in basics:
-        pos = 0
-        for w in ws:
-            for p in alt_wordpiece(w):
-                ids.append(did)
-                poss.append(pos)
-                pieces.append(p)
-                pos += 1
-    pq.write_table(
-        pa.table({"doc_id": pa.array(ids, pa.int64()),
-                  "pos": pa.array(poss, pa.int64()),
-                  "piece": pa.array(pieces, pa.string())}),
-        WP_TOKEN_TABLE)
-
+    wp = make_wordpiece_analyzer(_wp_multichar_vocab())
     d = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
     return d.select(
         "doc_id", F.posexplode(wp.spark_tokens("text")).alias("pos", "piece"))
@@ -776,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cjk_tokens": q_cjk_tokens,
         "media_features": q_media_features,
         "frame_samples": q_frame_samples,
+        "extracted_frames": q_extracted_frames,
         "wordpiece_tokens": q_wordpiece_tokens,
         "wordpiece_multichar": q_wordpiece_multichar,
         "training_losses": q_training_losses,
@@ -1254,6 +1257,27 @@ FROM documents
 WHERE doc_id < 200 AND doc_id % 3 = 2
 """
 
+    # closed-form mirror of the _media_avi synthesis arithmetic: the Spark
+    # side actually writes + demuxes + pixel-decodes AVI payloads; the
+    # oracle recomputes what those pixels must average to
+    o["extracted_frames"] = f"""
+WITH v AS (
+  SELECT doc_id AS media_id, 2 + doc_id % 9 AS n_frames,
+         CAST(4 + doc_id % 4 AS INT) AS width,
+         CAST(3 + doc_id % 3 AS INT) AS height
+  FROM documents WHERE doc_id < 200 AND doc_id % 3 = 2),
+s AS (
+  SELECT media_id, n_frames, width, height,
+         unnest(range(0, n_frames * {AVI_US_PF // 1000}, 120)) AS ts_ms
+  FROM v)
+SELECT media_id,
+       CAST(ts_ms // {AVI_US_PF // 1000} AS INT) AS frame_idx,
+       ts_ms, width, height,
+       CAST(2 * ((media_id * 31 + (ts_ms // {AVI_US_PF // 1000}) * 17) % 200)
+            + height - 1 AS INT) AS gray2x
+FROM s
+"""
+
     from light_splade_spark.functions.wordpiece import (
         MAX_WORD_CHARS,
         wordpiece_basic_tokens_sql,
@@ -1279,8 +1303,55 @@ SELECT doc_id, len(toks) AS n_pieces,
 FROM p
 """
 
+    # self-contained greedy WordPiece: recursive CTE advancing one piece
+    # per iteration, LEFT JOIN LATERAL picking the LONGEST vocab match at
+    # the current offset (no side files — ADVICE r4). Max recursion depth
+    # = MAX_WORD_CHARS.
+    _wp_vals = ", ".join(
+        "('{}')".format(v.replace("'", "''")) for v in _wp_multichar_vocab())
     o["wordpiece_multichar"] = f"""
-SELECT doc_id, pos, piece FROM read_parquet('{WP_TOKEN_TABLE}')
+WITH RECURSIVE
+vocab(piece) AS (VALUES {_wp_vals}),
+vs AS (
+  SELECT piece, piece AS m, false AS cont FROM vocab
+  WHERE piece NOT LIKE '##%'
+  UNION ALL
+  SELECT piece, substr(piece, 3), true FROM vocab WHERE piece LIKE '##%'
+),
+words AS (
+  SELECT doc_id, unnest(range(len(ws))) AS widx, unnest(ws) AS w
+  FROM (SELECT doc_id, {wordpiece_basic_tokens_sql('text')} AS ws
+        FROM documents WHERE doc_id < 100)
+),
+st AS (
+  SELECT doc_id, widx, w,
+         CASE WHEN len(w) > {MAX_WORD_CHARS} THEN len(w) ELSE 0 END AS i,
+         CASE WHEN len(w) > {MAX_WORD_CHARS}
+              THEN ['[UNK]'] ELSE CAST([] AS VARCHAR[]) END AS toks,
+         len(w) > {MAX_WORD_CHARS} AS failed
+  FROM words
+  UNION ALL
+  SELECT st.doc_id, st.widx, st.w,
+         CASE WHEN best.piece IS NULL THEN len(st.w)
+              ELSE st.i + len(best.m) END,
+         CASE WHEN best.piece IS NULL THEN ['[UNK]']
+              ELSE list_append(st.toks, best.piece) END,
+         best.piece IS NULL
+  FROM st LEFT JOIN LATERAL (
+     SELECT piece, m FROM vs
+     WHERE cont = (st.i > 0) AND substr(st.w, st.i + 1, len(m)) = m
+     ORDER BY len(m) DESC LIMIT 1
+  ) best ON true
+  WHERE st.i < len(st.w) AND NOT st.failed
+),
+flat AS (
+  SELECT doc_id, widx, unnest(range(len(toks))) AS k, unnest(toks) AS piece
+  FROM st WHERE i >= len(w)
+)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY widx, k) - 1 AS pos,
+       piece
+FROM flat
 """
 
     def _ls2(a, b):

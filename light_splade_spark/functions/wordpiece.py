@@ -257,7 +257,7 @@ def vocab_version(vocab: list[str] | tuple[str, ...]) -> str:
 
 def make_wordpiece_analyzer(vocab: list[str] | tuple[str, ...],
                             register: bool = True) -> Analyzer:
-    """Build (and by default register) the v3 analyzer for ``vocab``.
+    """Build (and by default register) the v4 analyzer for ``vocab``.
 
     The version string pins md5(vocab): two processes holding the same
     vocab list resolve to the same version, and an index built with one

@@ -591,8 +591,11 @@ def build_index(
          .sortWithinPartitions("term_id", "shard")  # total order: stable bytes
          .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
         _tr(f"group{group}_postings_written")
-        # lineage + metrics per (shard, bucket) partition of this group
-        written = spark.read.parquet(out_dir)
+        # lineage + metrics per (shard, bucket) partition of this group.
+        # Explicit schema: a shard group whose doc range holds no postings
+        # (tiny corpora, sparse tails) writes zero data files, and
+        # schema inference would fail on the empty directory
+        written = spark.read.schema(POSTING_SCHEMA).parquet(out_dir)
         lineage = [
             r.asDict()
             for r in written.groupBy("shard", "bucket").agg(

@@ -106,7 +106,7 @@ def query_terms_df(spark: SparkSession, index_dir: str,
     drops terms absent from the index — they can't contribute to any score).
     For the v1/v2 analyzers tokenization is a fully JVM-side column
     (codegen'd — a billion-query set never routes through Python); a
-    wordpiece-v3-pinned index tokenizes through the analyzer's
+    wordpiece-v4-pinned index tokenizes through the analyzer's
     Arrow-vectorized pandas UDF instead (greedy vocab matching is not a SQL
     expression — the reference itself tokenizes in a heavy UDF, SURVEY
     §2.8), still batch-parallel and driver-state-free."""

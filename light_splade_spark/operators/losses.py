@@ -172,13 +172,12 @@ def combined_loss(losses: list[DataFrame], flops_q: DataFrame,
     (flops(pos) + flops(neg)) / 2 (reference trainer/splade_trainer.py:
     347-365, lambdas from config/training/splade_training_distill.yaml).
     Inputs are the 1-row outputs of the functions above; the combination
-    is a driver-free crossJoin of scalars."""
-    out = None
+    is a driver-free crossJoin of scalars. An empty ``losses`` list is
+    valid (regularizers only): the fold seeds from the first flops side."""
+    out = flops_q.select(F.col("flops").alias("_fq"))
     for i, df in enumerate(losses):
-        d = df.select(F.col("loss").alias(f"_l{i}"))
-        out = d if out is None else out.crossJoin(d)
+        out = out.crossJoin(df.select(F.col("loss").alias(f"_l{i}")))
     out = (out
-           .crossJoin(flops_q.select(F.col("flops").alias("_fq")))
            .crossJoin(flops_pos.select(F.col("flops").alias("_fp")))
            .crossJoin(flops_neg.select(F.col("flops").alias("_fn"))))
     total = sum((F.col(f"_l{i}") for i in range(len(losses))),

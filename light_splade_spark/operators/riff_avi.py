@@ -79,6 +79,8 @@ def parse_avi(payload: bytes) -> dict:
         if cc == "LIST:hdrl":
             for hcc, hs, he in _walk(b, s, e):
                 if hcc == "avih":
+                    if he - hs < 40:
+                        raise AviError("truncated avih header")
                     (uspf, _mbps, _pad, _flags, total, _init, _streams,
                      _sug, w, h) = struct.unpack_from("<10I", b, hs)
                     info.update(us_per_frame=uspf, n_frames=total,
@@ -90,7 +92,13 @@ def parse_avi(payload: bytes) -> dict:
                             in_vids = b[ss:ss + 4] == b"vids"
                             if in_vids and vids_idx is None:
                                 vids_idx = stream_idx
-                        elif scc == "strf" and in_vids:
+                        elif (scc == "strf" and in_vids
+                              and vids_idx == stream_idx):
+                            # Pinned to the stream whose frames we collect:
+                            # a second vids strl must not overwrite the
+                            # geometry/codec of the first.
+                            if se - ss < 20:
+                                raise AviError("truncated strf header")
                             # BITMAPINFOHEADER: biSize, biWidth, biHeight,
                             # biPlanes, biBitCount, biCompression
                             (_bisz, biw, bih, _planes, bitcount,
@@ -165,6 +173,42 @@ def decode_frame_gray(info: dict, frame: bytes) -> np.ndarray:
     raise NotImplementedError(
         f"AVI codec {codec!r} not supported without ffmpeg/PyAV "
         "(supported here: BI_RGB 24-bit, MJPG via PIL)")
+
+
+def write_avi(frames: list[np.ndarray], us_per_frame: int = 40000) -> bytes:
+    """Minimal BI_RGB 24-bit AVI from (h, w, 3) uint8 arrays — the inverse
+    of ``parse_avi`` for the one codec this module owns end-to-end. Used by
+    the deterministic media fixtures (Q:extracted_frames) and the
+    writer<->parser property tests; rows are written bottom-up with 4-byte
+    stride padding per the DIB spec."""
+    h, w = frames[0].shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<10I16x", us_per_frame, 0, 0, 0, len(frames), 0, 1,
+                       0, w, h)
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIi4H", 0, 0, 0, 0, 1,
+                                            25, 0, len(frames), 0, 0, -1,
+                                            0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    for f in frames:
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up DIB row order
+            row = np.ascontiguousarray(f[y], dtype=np.uint8).tobytes()
+            rows.append(row + b"\x00" * (stride - len(row)))
+        movi_body += chunk(b"00db", b"".join(rows))
+    body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def video_features(payload: bytes, dim: int) -> np.ndarray:

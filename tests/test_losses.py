@@ -145,3 +145,9 @@ def test_flops_and_combined(spark_local):
         .collect()[0]["loss"]
     assert got_c == pytest.approx(
         round(1.5 + 0.5 + 0.1 * 2.0 + 0.01 * (2.0 + 2.0) / 2, 4), abs=1e-6)
+
+    # empty losses list (regularizers only) is valid — ADVICE r4
+    got_e = L.combined_loss([], fl, fl, fl, lambda_q=0.1, lambda_d=0.01) \
+        .collect()[0]["loss"]
+    assert got_e == pytest.approx(
+        round(0.1 * 2.0 + 0.01 * (2.0 + 2.0) / 2, 4), abs=1e-6)

@@ -19,7 +19,14 @@ from light_splade_spark.operators.riff_avi import (
     decode_frame_gray,
     parse_avi,
     video_features,
+    write_avi,
 )
+
+# the shared writer (riff_avi.write_avi) is the fixture source here AND in
+# Q:extracted_frames — the property tests below prove writer<->parser
+# exact-pixel roundtrip, which is what lets the driver oracle use a
+# closed-form gray-level formula
+make_avi = write_avi
 
 
 def _chunk(fourcc: bytes, body: bytes) -> bytes:
@@ -29,33 +36,6 @@ def _chunk(fourcc: bytes, body: bytes) -> bytes:
 
 def _list(ltype: bytes, body: bytes) -> bytes:
     return _chunk(b"LIST", ltype + body)
-
-
-def make_avi(frames: list[np.ndarray], us_per_frame: int = 40000) -> bytes:
-    """Minimal BI_RGB 24-bit AVI from (h, w, 3) uint8 arrays (RGB order is
-    irrelevant to the grayscale decode — channels are averaged)."""
-    h, w = frames[0].shape[:2]
-    stride = ((w * 3 + 3) // 4) * 4
-    avih = struct.pack("<10I16x", us_per_frame, 0, 0, 0, len(frames), 0, 1,
-                       0, w, h)
-    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIi4H", 0, 0, 0, 0, 1,
-                                            25, 0, len(frames), 0, 0, -1,
-                                            0, 0, w, h))
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
-                       0, 0, 0, 0)
-    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
-                 + _list(b"strl", _chunk(b"strh", strh)
-                         + _chunk(b"strf", strf)))
-    movi_body = b""
-    for f in frames:
-        rows = []
-        for y in range(h - 1, -1, -1):  # bottom-up DIB row order
-            row = f[y].astype(np.uint8).tobytes()
-            rows.append(row + b"\x00" * (stride - len(row)))
-        movi_body += _chunk(b"00db", b"".join(rows))
-    movi = _list(b"movi", movi_body)
-    body = b"AVI " + hdrl + movi
-    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def _gradient_frames(n: int, h: int = 8, w: int = 6) -> list[np.ndarray]:
@@ -232,3 +212,62 @@ def test_audio_first_and_rec_interleaved_layouts():
     broken = make_avi_audio_first(frames).replace(b"01db", b"99xx")
     with pytest.raises(AviError, match="no '01db'"):
         parse_avi(broken)
+
+
+def test_second_vids_stream_does_not_clobber_geometry():
+    """Two vids strls: the strf of the SECOND must not overwrite the
+    geometry/codec of the first, whose frames are the ones collected
+    (ADVICE r4)."""
+    frames = _gradient_frames(3, h=8, w=6)
+    h2, w2 = 4, 10  # a second video stream with different dims
+    stride = ((6 * 3 + 3) // 4) * 4
+    avih = struct.pack("<10I16x", 40000, 0, 0, 0, len(frames), 0, 2,
+                       0, 6, 8)
+    strh_v = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIi4H", 0, 0, 0, 0,
+                                              1, 25, 0, len(frames), 0, 0,
+                                              -1, 0, 0, 6, 8))
+    strf_v1 = struct.pack("<IiiHHIIiiII", 40, 6, 8, 1, 24, 0, stride * 8,
+                          0, 0, 0, 0)
+    strf_v2 = struct.pack("<IiiHHIIiiII", 40, w2, h2, 1, 16,
+                          0x34363248, 0, 0, 0, 0, 0)  # 'H264', 16-bit
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh_v)
+                         + _chunk(b"strf", strf_v1))
+                 + _list(b"strl", _chunk(b"strh", strh_v)
+                         + _chunk(b"strf", strf_v2)))
+    movi_body = b""
+    for f in frames:
+        rows = []
+        for y in range(7, -1, -1):
+            row = f[y].astype(np.uint8).tobytes()
+            rows.append(row + b"\x00" * (stride - len(row)))
+        movi_body += _chunk(b"00db", b"".join(rows))
+    body = b"AVI " + hdrl + _list(b"movi", movi_body)
+    info = parse_avi(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert (info["width"], info["height"]) == (6, 8)
+    assert info["codec"] == "RGB " and info["bitcount"] == 24
+    got = decode_frame_gray(info, info["frames"][2])
+    assert got.shape == (8, 6)
+    assert got.mean() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_truncated_headers_raise_avierror_not_struct_error():
+    """Truncated avih/strf bodies raise AviError (so the multimodal
+    wrapper's AviError->NotImplementedError contract holds), never a raw
+    struct.error (ADVICE r4)."""
+    avih_ok = struct.pack("<10I16x", 40000, 0, 0, 0, 1, 0, 1, 0, 6, 8)
+    strh_v = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIi4H", 0, 0, 0, 0,
+                                              1, 25, 0, 1, 0, 0, -1,
+                                              0, 0, 6, 8))
+
+    def avi_with(avih_body: bytes, strf_body: bytes) -> bytes:
+        hdrl = _list(b"hdrl", _chunk(b"avih", avih_body)
+                     + _list(b"strl", _chunk(b"strh", strh_v)
+                             + _chunk(b"strf", strf_body)))
+        body = b"AVI " + hdrl + _list(b"movi", _chunk(b"00db", b"\x00" * 96))
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with pytest.raises(AviError, match="truncated strf"):
+        parse_avi(avi_with(avih_ok, b"\x00" * 12))
+    with pytest.raises(AviError, match="truncated avih"):
+        parse_avi(avi_with(b"\x00" * 16, b"\x00" * 40))
