@@ -119,6 +119,13 @@ def run_suite(master: str, shuffle_partitions: int = 32) -> dict:
         doc_tokens(sample, analyzer=wp).select("doc_id", "dl")))
     extras["tokenize_v1_docs_per_sec"] = round(n_sample / t_v1, 1)
     extras["tokenize_wp4_docs_per_sec"] = round(n_sample / t_wp, 1)
+    # optional Rust fast path (public HF `tokenizers`): measured only when
+    # the package is installed; the backend flag reaches Arrow workers via
+    # the driver env (inherited at session start in local mode)
+    from light_splade_spark.functions.wordpiece import hf_backend_available
+    extras["wp4_backend"] = ("hf" if hf_backend_available() and
+                             os.environ.get("LSS_WORDPIECE_BACKEND", "auto")
+                             != "py" else "py")
 
     spark.stop()
     return {"queries": {k: round(v, 3) for k, v in q.items()}, "extras": extras}

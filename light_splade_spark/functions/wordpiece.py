@@ -26,10 +26,15 @@ public algorithms this module reproduces exactly:
 Three representations:
 * ``py_tokenize`` — the driver/query/oracle-side mirror (pure Python,
   faithful to HF including NFD non-recomposition);
-* ``spark_tokens`` — an Arrow pandas UDF sharing the SAME Python kernel
-  (tokenization with a learned vocab is the one place the reference itself
-  runs a heavy UDF, SURVEY §2.8); length-agnostic, vocab ships once per
-  executor in the closure;
+* ``spark_tokens`` — an Arrow pandas UDF; length-agnostic, vocab ships
+  once per executor in the closure (tokenization with a learned vocab is
+  the one place the reference itself runs a heavy UDF, SURVEY §2.8). The
+  UDF body resolves a backend per worker: the Rust HF pipeline when the
+  public ``tokenizers`` package is installed (the same Rust code the
+  reference runs; removes the measured ~7x Python tax), else the Python
+  kernel. ``LSS_WORDPIECE_BACKEND=py|hf|auto`` overrides — set it BEFORE
+  the SparkSession starts so executors inherit it; ``hf`` without the
+  package fails loudly;
 * ``wordpiece_basic_tokens_sql`` — the DuckDB mirror of ``basic_tokens``
   (``strip_accents(lower(..))`` + one RE2 extract). Verified equal to the
   Python kernel on Latin/accents/Cyrillic/Greek/Japanese/Thai/Hebrew/
@@ -227,19 +232,101 @@ def _make_py_tokenize(vocab: frozenset[str]):
     return py_tokenize
 
 
-def _make_spark_tokens(vocab: frozenset[str]):
+# -- optional Rust fast path (public HF `tokenizers` package) -----------------
+#
+# The reference's own tokenization runs this exact Rust code (HF fast
+# tokenizers, models/splade.py:237-245); the pure-Python kernel above is a
+# measured ~7x tax on the build hot path (BENCH_r04). When the public
+# `tokenizers` package is installed, `spark_tokens` routes batches through
+# a Rust BertNormalizer+BertPreTokenizer+WordPiece pipeline configured to
+# the SAME algorithm (clean/CJK-space/lower/NFD-strip-Mn/punct-split +
+# greedy longest-match, MAX_WORD_CHARS cap); the Python kernel stays the
+# canonical mirror and the driver-oracle surface, and skip-paired tests
+# assert token-stream equality whenever the package is present.
+# LSS_WORDPIECE_BACKEND = auto (default) | py | hf selects explicitly;
+# "hf" without the package installed fails loudly, PIL-style.
+
+def hf_backend_available() -> bool:
+    try:
+        import tokenizers  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def make_hf_encode_batch(vocab: tuple[str, ...]):
+    """-> callable(list[str]) -> list[list[str]] backed by the Rust HF
+    pipeline, or raises NotImplementedError when `tokenizers` is absent.
+    Built lazily PER WORKER PROCESS (the Rust Tokenizer is not picklable;
+    only the vocab tuple ships in the UDF closure)."""
+    try:
+        from tokenizers import Tokenizer
+        from tokenizers.models import WordPiece as HFWordPiece
+        from tokenizers.normalizers import BertNormalizer
+        from tokenizers.pre_tokenizers import BertPreTokenizer
+    except ImportError:
+        raise NotImplementedError(
+            "LSS_WORDPIECE_BACKEND=hf requires the public `tokenizers` "
+            "package (Rust HF tokenizers); not installed — use the default "
+            "python backend") from None
+    ids = {UNK: 0}
+    for p in vocab:
+        ids.setdefault(p, len(ids))
+    tok = Tokenizer(HFWordPiece(
+        ids, unk_token=UNK, max_input_chars_per_word=MAX_WORD_CHARS,
+        continuing_subword_prefix="##"))
+    tok.normalizer = BertNormalizer(
+        clean_text=True, handle_chinese_chars=True, strip_accents=True,
+        lowercase=True)
+    tok.pre_tokenizer = BertPreTokenizer()
+
+    def encode_batch(texts: list[str]) -> list[list[str]]:
+        return [e.tokens for e in tok.encode_batch(texts)]
+
+    return encode_batch
+
+
+_WORKER_ENCODERS: dict[tuple, object] = {}  # per-process cache, keyed by vocab
+
+
+def _resolve_encode_batch(vocab_tuple: tuple[str, ...],
+                          vset: frozenset[str], version: str):
+    """Worker-side backend resolution: Rust HF pipeline when available (or
+    demanded), else the Python kernel. Cached per (process, vocab-version) —
+    the version string is stable across task deserializations, so one
+    encoder is built per worker process, not per task."""
+    key = (version, os.environ.get("LSS_WORDPIECE_BACKEND", "auto"))
+    enc = _WORKER_ENCODERS.get(key)
+    if enc is None:
+        backend = os.environ.get("LSS_WORDPIECE_BACKEND", "auto")
+        if backend == "hf" or (backend == "auto" and hf_backend_available()):
+            enc = make_hf_encode_batch(vocab_tuple)
+        elif backend in ("auto", "py"):
+            py_tok = _make_py_tokenize(vset)
+            enc = lambda texts: [py_tok(t) for t in texts]  # noqa: E731
+        else:
+            raise ValueError(
+                f"unknown LSS_WORDPIECE_BACKEND={backend!r} "
+                "(use auto, py, or hf)")
+        _WORKER_ENCODERS[key] = enc
+    return enc
+
+
+def _make_spark_tokens(vocab: frozenset[str], vocab_tuple: tuple[str, ...],
+                       version: str):
     from pyspark.sql import Column
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
-    py_tok = _make_py_tokenize(vocab)
     holder: dict = {}  # UDF built lazily — pandas_udf needs a live session
 
     def spark_tokens(text, max_chars: int | None = None) -> Column:
         if "udf" not in holder:
             @pandas_udf("array<string>")
             def wp_udf(texts: pd.Series) -> pd.Series:
-                return texts.map(lambda t: py_tok(t or ""))
+                enc = _resolve_encode_batch(vocab_tuple, vocab, version)
+                return pd.Series(
+                    enc([t or "" for t in texts]), index=texts.index)
             holder["udf"] = wp_udf
         c = F.col(text) if isinstance(text, str) else text
         if max_chars is not None:
@@ -263,10 +350,11 @@ def make_wordpiece_analyzer(vocab: list[str] | tuple[str, ...],
     vocab list resolve to the same version, and an index built with one
     refuses queries tokenized with any other (analyzers.get_analyzer)."""
     vset = frozenset(vocab)
+    version = vocab_version(vocab)
     ana = Analyzer(
-        version=vocab_version(vocab),
-        spark_tokens=_make_spark_tokens(vset),
-        py_tokenize=_make_py_tokenize(vset),
+        version=version,
+        spark_tokens=_make_spark_tokens(vset, tuple(vocab), version),
+        py_tokenize=_make_py_tokenize(vset),  # canonical mirror, always py
         duckdb_tokens=None,  # not inline-SQL-expressible; see module doc
         vocab=tuple(vocab),
     )
@@ -291,15 +379,26 @@ def save_vocab(index_dir: str, ana: Analyzer) -> None:
 
 
 def load_vocab_analyzer(index_dir: str, version: str) -> Analyzer | None:
-    """Reconstruct (and register) the wordpiece analyzer pinned by an index
-    from its persisted vocab file; None when the index carries no vocab or
-    the vocab hashes to a different version (tampered/mismatched file)."""
+    """Reconstruct (and register) the vocab-driven analyzer pinned by an
+    index from its persisted vocab file; None when the index carries no
+    vocab or the vocab hashes to a different version (tampered/mismatched
+    file). The version prefix selects the analyzer family: ``ls-spark-wp4-``
+    -> plain BERT BasicTokenizer+WordPiece, ``ls-spark-mecab-`` -> MeCab
+    word segmentation + WordPiece (functions/mecab_ja.py; raises a named
+    NotImplementedError when fugashi is absent — an index built with MeCab
+    must never be silently queried with a different segmentation)."""
     path = os.path.join(index_dir, VOCAB_FILENAME)
     if not os.path.exists(path):
         return None
     with open(path) as f:
         payload = json.load(f)
-    ana = make_wordpiece_analyzer(payload["vocab"])
+    if version.startswith("ls-spark-mecab-"):
+        from light_splade_spark.functions.mecab_ja import (
+            make_mecab_wordpiece_analyzer,
+        )
+        ana = make_mecab_wordpiece_analyzer(payload["vocab"])
+    else:
+        ana = make_wordpiece_analyzer(payload["vocab"])
     if ana.version != version:
         raise ValueError(
             f"index at {index_dir} pins analyzer {version!r} but its "

@@ -16,6 +16,7 @@ from hypothesis import strategies as st
 from light_splade_spark.functions.analyzers import ANALYZERS
 from light_splade_spark.functions.wordpiece import (
     SINGLE_CHAR_VOCAB,
+    hf_backend_available,
     UNK,
     make_wordpiece_analyzer,
     vocab_version,
@@ -334,3 +335,64 @@ def test_mixed_script_build_to_wand_rank_identity(spark, tmp_path):
     hits = {(r.qid, r.doc_id) for r in
             wand_topk(spark, idx, [(9, "cafe")], top_k=5).collect()}
     assert (9, 0) in hits and (9, 4) in hits
+
+
+# -- optional Rust backend (public HF `tokenizers`), skip-paired --------------
+# exactly one of the two tests below runs in any environment: the equality
+# test when the package is installed, the loud-absence test when not.
+
+_ALL_SCRIPTS_TEXT = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        st.characters(min_codepoint=0xC0, max_codepoint=0x17F),   # accents
+        st.characters(min_codepoint=0x390, max_codepoint=0x3C9),  # Greek
+        st.characters(min_codepoint=0x410, max_codepoint=0x44F),  # Cyrillic
+        st.characters(min_codepoint=0x3041, max_codepoint=0x30FF),  # kana
+        st.characters(min_codepoint=0x4E00, max_codepoint=0x4E50),  # ideo
+    ),
+    max_size=60,
+)
+
+
+@pytest.mark.skipif(
+    not hf_backend_available(),
+    reason="public `tokenizers` package not installed (skip-paired: the "
+           "loud-absence test runs instead)")
+@settings(max_examples=150, deadline=None)
+@given(_ALL_SCRIPTS_TEXT)
+def test_hf_backend_token_stream_equality(text):
+    """When the Rust HF backend is installed, its token stream must equal
+    the canonical Python kernel's on arbitrary multi-script input — the
+    equality that lets `spark_tokens` route through Rust while the driver
+    oracle keeps checking against the Python mirror."""
+    from light_splade_spark.functions.wordpiece import make_hf_encode_batch
+
+    ana = make_wordpiece_analyzer(FIXTURE_VOCAB, register=False)
+    enc = make_hf_encode_batch(tuple(FIXTURE_VOCAB))
+    assert enc([text])[0] == ana.py_tokenize(text)
+
+
+@pytest.mark.skipif(
+    hf_backend_available(),
+    reason="`tokenizers` installed — the equality test runs instead")
+def test_hf_backend_absent_is_loud(monkeypatch, spark):
+    """Without the package: auto falls back to the Python kernel (same
+    streams), demanding hf fails with a named error, and an unknown
+    backend value is rejected — never a silent wrong tokenizer."""
+    from light_splade_spark.functions import wordpiece as W
+
+    ana = make_wordpiece_analyzer(FIXTURE_VOCAB, register=False)
+    df = spark.createDataFrame([(0, "unaffable spark data")],
+                               "doc_id BIGINT, text STRING")
+
+    monkeypatch.setenv("LSS_WORDPIECE_BACKEND", "auto")
+    W._WORKER_ENCODERS.clear()
+    got = df.select(ana.spark_tokens("text").alias("t")).collect()[0].t
+    assert list(got) == ana.py_tokenize("unaffable spark data")
+
+    with pytest.raises(NotImplementedError, match="tokenizers"):
+        W.make_hf_encode_batch(tuple(FIXTURE_VOCAB))
+    monkeypatch.setenv("LSS_WORDPIECE_BACKEND", "bogus")
+    with pytest.raises(ValueError, match="LSS_WORDPIECE_BACKEND"):
+        W._resolve_encode_batch(tuple(FIXTURE_VOCAB),
+                                frozenset(FIXTURE_VOCAB), "vtest")
