@@ -124,6 +124,19 @@ def q_wand_topk(spark, sf_dir):
     return wand_topk(spark, idx, QUERIES, top_k=TOP_K, mode="bmw")
 
 
+def q_wand_point(spark, sf_dir):
+    """Interactive point-query route (VERDICT r4 item 6): <=4 queries take
+    the driver-local fast path — same shard kernel over a pyarrow
+    filtered read of exactly the query terms' posting rows, no Spark job
+    (index/wand.py:_wand_local). Hash-checked against the same
+    float32-impact DuckDB oracle as the distributed plan, so both routes
+    carry a CORRECTNESS row."""
+    from light_splade_spark.index.wand import wand_topk
+
+    idx = _cached_index(spark, sf_dir)
+    return wand_topk(spark, idx, QUERIES[:2], top_k=TOP_K, local="force")
+
+
 def q_index_join_topk(spark, sf_dir):
     """Corpus-scale query route (J2 at >10^5 queries): decode the compressed
     index back to (term_id, doc_id, w) rows and score via a shuffle join +
@@ -743,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "dot_topk": q_dot_topk,
         "wand_topk": q_wand_topk,
+        "wand_point": q_wand_point,
         "index_join_topk": q_index_join_topk,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
@@ -818,6 +832,8 @@ def oracle_sql() -> dict[str, str]:
     # float32 (as stored in the index) — the oracle mirrors that cast
     o["wand_topk"] = bm25_sql.bm25_oracle_sql(QUERIES, top_k=TOP_K,
                                               float32_impacts=True)
+    o["wand_point"] = bm25_sql.bm25_oracle_sql(QUERIES[:2], top_k=TOP_K,
+                                               float32_impacts=True)
     # the join-over-decoded-index route scores the same float32 impacts
     o["index_join_topk"] = bm25_sql.bm25_oracle_sql(QUERIES, top_k=TOP_K,
                                                     float32_impacts=True)

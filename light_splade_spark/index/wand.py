@@ -30,6 +30,7 @@ plans/bm25_sql.py.
 from __future__ import annotations
 
 import heapq
+import os
 from collections import Counter
 
 import numpy as np
@@ -339,6 +340,79 @@ def build_query_plan(
     return qplan, tids, buckets
 
 
+# interactive point queries skip Spark job scheduling entirely (see
+# _wand_local); batches above this go through the distributed plan
+LOCAL_PATH_MAX_QUERIES = 4
+
+_RESULT_SCHEMA = "qid BIGINT, rank INT, doc_id BIGINT, score DOUBLE"
+
+
+def _round_half_up(x: float, decimals: int = SCORE_DECIMALS) -> float:
+    """Replicates Spark's F.round on DOUBLE: java BigDecimal.valueOf(d)
+    (shortest decimal repr, same as Python repr) + HALF_UP."""
+    import decimal
+    q = decimal.Decimal(1).scaleb(-decimals)
+    return float(decimal.Decimal(repr(x)).quantize(
+        q, rounding=decimal.ROUND_HALF_UP))
+
+
+def _wand_local(spark, index_dir, qplan, tids, buckets, top_k, threshold,
+                mode, target, man) -> DataFrame:
+    """Driver-local execution of the SAME shard kernel for point queries.
+
+    A 1-4 query lookup against a built index is dominated by Spark job
+    scheduling (two stages + a Python-worker round trip ≈ 0.6 s at sf0.1),
+    not by work: the posting rows it touches are a few MB. This path reads
+    exactly those rows with a pyarrow dataset filter (hive partition
+    pruning on bucket + parquet row-group stats on term_id — the same
+    pruning the distributed scan does), runs ``_score_shard`` per shard
+    in-process, and applies the identical round/threshold/rank semantics
+    (HALF_UP like F.round, score DESC / doc_id ASC). Rank-identity with
+    the distributed plan is asserted in tests/test_wand_kernel.py and
+    gate-checked by Q:wand_point. Scale story: cost ∝ query-term posting
+    bytes, independent of corpus partitions — the same reason a serving
+    layer reads an index directly instead of launching a job."""
+    import pyarrow.dataset as pds
+
+    data = pds.dataset(os.path.join(index_dir, "postings"),
+                       partitioning="hive")
+    tab = data.to_table(
+        filter=(pds.field("bucket").isin(buckets)
+                & pds.field("term_id").isin(tids)),
+        columns=["shard", "term_id", "postings", "bm_last", "bm_max"])
+    pdf = tab.to_pandas()
+    parts = []
+    for _, g in pdf.groupby("shard", sort=False):
+        parts.append(_score_shard(g, qplan=qplan, top_k=top_k,
+                                  threshold=threshold, mode=mode,
+                                  target_docs=target,
+                                  weight_bits=man.weight_bits,
+                                  block_size=man.block_size))
+    if parts:
+        hits = pd.concat(parts, ignore_index=True)
+    else:
+        hits = pd.DataFrame({"qid": [], "doc_id": [], "score": []})
+    if len(hits):
+        hits["score"] = hits["score"].map(_round_half_up)
+        hits = hits[hits["score"] >= threshold]
+        hits = hits.sort_values(["qid", "score", "doc_id"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        hits["rank"] = hits.groupby("qid").cumcount() + 1
+        if top_k and top_k > 0:
+            hits = hits[hits["rank"] <= top_k]
+    else:
+        hits["rank"] = []
+    out = pd.DataFrame({
+        "qid": hits["qid"].astype("int64"),
+        "rank": hits["rank"].astype("int32") if len(hits)
+        else pd.Series([], dtype="int32"),
+        "doc_id": hits["doc_id"].astype("int64"),
+        "score": hits["score"].astype("float64"),
+    })
+    return spark.createDataFrame(out, schema=_RESULT_SCHEMA)
+
+
 def wand_topk(
     spark: SparkSession,
     index_dir: str,
@@ -348,6 +422,7 @@ def wand_topk(
     mode: str = "bmw",
     target_doc_ids: list[int] | None = None,
     query_weights: list[tuple[int, dict[str, float]]] | None = None,
+    local: str = "auto",
 ) -> DataFrame:
     """-> DataFrame(qid, rank, doc_id, score) — rank-identical to the exact
     SQL path (plans/bm25_sql.score_bm25) on the same corpus.
@@ -358,13 +433,34 @@ def wand_topk(
     queries against the index) use index/join_scorer.score_index_join — the
     same semantics (rank-identical, asserted in tests/test_join_scorer.py)
     expressed as a shuffle join over the decoded index, which scales with
-    the cluster instead of the driver."""
+    the cluster instead of the driver.
+
+    ``local``: "auto" (default) serves point lookups (<= 4 queries with a
+    finite top_k against a locally readable index) driver-side with the
+    same kernel — no Spark job, ~10x lower latency; "never" forces the
+    distributed plan; "force" demands the local path (raises if the index
+    dir is not a local filesystem path)."""
     qplan, tids, buckets = build_query_plan(spark, index_dir, queries,
                                             query_weights)
     target = (np.unique(np.asarray(target_doc_ids, dtype=np.int64))
               if target_doc_ids is not None else None)
     if not qplan:
-        return spark.createDataFrame([], "qid BIGINT, rank INT, doc_id BIGINT, score DOUBLE")
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    man_early = IndexManifest.load(index_dir)
+    if local not in ("auto", "never", "force"):
+        raise ValueError(f"unknown local={local!r} (auto/never/force)")
+    want_local = (
+        local == "force"
+        or (local == "auto" and len(qplan) <= LOCAL_PATH_MAX_QUERIES
+            and top_k and top_k > 0
+            and os.path.isdir(os.path.join(index_dir, "postings"))))
+    if want_local:
+        if not os.path.isdir(os.path.join(index_dir, "postings")):
+            raise ValueError(
+                f"local='force' but {index_dir} is not a local filesystem "
+                "index")
+        return _wand_local(spark, index_dir, qplan, tids, buckets, top_k,
+                           threshold, mode, target, man_early)
     posts = read_postings(spark, index_dir).where(
         F.col("bucket").isin(buckets))  # partition pruning (<= n_buckets)
     if len(tids) > 256:
@@ -377,8 +473,7 @@ def wand_topk(
         # small batches: isin literal keeps parquet min/max pushdown
         posts = posts.where(F.col("term_id").isin(tids))
     posts = posts.select("shard", "term_id", "postings", "bm_last", "bm_max")
-    man = IndexManifest.load(index_dir)
-    wb, bs = man.weight_bits, man.block_size
+    wb, bs = man_early.weight_bits, man_early.block_size
 
     # a NAMED function (not functools.partial): applyInPandas infers the
     # eval type from the callable and warns on partials — noise in every

@@ -134,22 +134,38 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
 
 def stream_queries(spark: SparkSession, index_dir: str, stream: DataFrame,
                    output_dir: str, checkpoint_dir: str, top_k: int = 10,
-                   threshold: float = 0.0, mode: str = "bmw"):
+                   threshold: float = 0.0, mode: str = "bmw",
+                   join_route_threshold: int = 50_000):
     """Streaming query evaluation: a stream of (qid, text) rows is evaluated
     against the index per micro-batch, results appended as parquet.
     ``Trigger.AvailableNow`` + checkpoint → each query batch is answered
-    exactly once across restarts. The batch body is the same WAND plan as
-    the batch API — foreachBatch is the idiomatic bridge for a sink that
-    needs arbitrary DataFrame plans (joins against static postings)."""
+    exactly once across restarts. foreachBatch is the idiomatic bridge for
+    a sink that needs arbitrary DataFrame plans (joins against static
+    postings).
+
+    Route guard (ADVICE r4): batches up to ``join_route_threshold`` queries
+    take the WAND kernel (collects the query texts to the driver — the
+    documented <=10^5 sizing of that route); larger batches stay fully
+    distributed through ``score_index_join`` (query side shuffles on
+    term_id, never collected), which is rank-identical to WAND on the same
+    index. A huge streamed batch therefore degrades to a bigger join, not
+    a driver OOM."""
+    from light_splade_spark.index.join_scorer import score_index_join
     from light_splade_spark.index.wand import wand_topk
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        qs = [(int(r["qid"]), r["text"]) for r in batch_df.collect()]
-        if not qs:
+        n = batch_df.count()
+        if n == 0:
             return
-        (wand_topk(spark, index_dir, qs, top_k=top_k, threshold=threshold,
-                   mode=mode)
-         .withColumn("batch_id", F.lit(batch_id))
+        if n > join_route_threshold:
+            out = score_index_join(spark, index_dir,
+                                   batch_df.select("qid", "text"),
+                                   top_k=top_k, threshold=threshold)
+        else:
+            qs = [(int(r["qid"]), r["text"]) for r in batch_df.collect()]
+            out = wand_topk(spark, index_dir, qs, top_k=top_k,
+                            threshold=threshold, mode=mode)
+        (out.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(output_dir))
 
     return (

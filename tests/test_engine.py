@@ -160,3 +160,51 @@ def test_stream_queries(spark, docs, tmp_path_factory):
     batch = eng.retrieve([(1, "spark join")], top_k=5).collect()
     stream_rows = (got.where("qid = 1").orderBy("rank").collect())
     assert [r["doc_id"] for r in stream_rows] == [r["doc_id"] for r in batch]
+
+
+def test_stream_queries_big_batch_takes_join_route(spark, docs, monkeypatch,
+                                                   tmp_path_factory):
+    """Batches above join_route_threshold must go through the fully
+    distributed score_index_join (no driver collect of query texts) and
+    still produce WAND-rank-identical results; small batches keep the WAND
+    kernel (ADVICE r4 streaming guard)."""
+    from light_splade_spark.index import join_scorer, wand
+    from light_splade_spark.streaming.incremental import stream_queries
+
+    base = tmp_path_factory.mktemp("sqbig")
+    d = str(base / "idx")
+    eng = Engine.build(spark, docs, d, n_shards=2, n_buckets=4, n_salts=2,
+                       n_shard_groups=1, run_size=100)
+    calls: list[str] = []
+    real_join, real_wand = join_scorer.score_index_join, wand.wand_topk
+    monkeypatch.setattr(join_scorer, "score_index_join",
+                        lambda *a, **k: calls.append("join") or
+                        real_join(*a, **k))
+    monkeypatch.setattr(wand, "wand_topk",
+                        lambda *a, **k: calls.append("wand") or
+                        real_wand(*a, **k))
+
+    src = base / "qin"
+    src.mkdir()
+    (src / "q.ndjson").write_text(
+        '{"qid": 1, "text": "spark join"}\n{"qid": 2, "text": "merge"}\n'
+        '{"qid": 3, "text": "shuffle"}')
+    # threshold=2 < 3 queries -> join route
+    q = stream_queries(spark, d, spark.readStream
+                       .schema("qid BIGINT, text STRING").json(str(src)),
+                       str(base / "out"), str(base / "ckpt"), top_k=5,
+                       join_route_threshold=2)
+    q.awaitTermination(120)
+    assert calls == ["join"]
+    got = spark.read.parquet(str(base / "out"))
+    batch = eng.retrieve([(1, "spark join")], top_k=5).collect()
+    stream_rows = got.where("qid = 1").orderBy("rank").collect()
+    assert [r["doc_id"] for r in stream_rows] == [r["doc_id"] for r in batch]
+    # same batch below the threshold -> wand route
+    calls.clear()
+    q2 = stream_queries(spark, d, spark.readStream
+                        .schema("qid BIGINT, text STRING").json(str(src)),
+                        str(base / "out2"), str(base / "ckpt2"), top_k=5,
+                        join_route_threshold=50)
+    q2.awaitTermination(120)
+    assert calls == ["wand"]

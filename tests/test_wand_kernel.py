@@ -71,3 +71,45 @@ def test_batch_shared_scorer_matches_per_query_route(spark, tmp_path):
         for r in wand_topk(spark, idx, big[i:i + 8], top_k=5).collect():
             single[(r.qid, r.rank)] = (r.doc_id, r.score)
     assert batch == single and len(batch) > 0
+
+
+def test_local_point_path_identical_to_distributed(spark, tmp_path):
+    """The driver-local point-query path (pyarrow filtered read + the same
+    shard kernel, index/wand.py:_wand_local) must return byte-identical
+    (qid, rank, doc_id, score) to the distributed plan — including the
+    HALF_UP rounding F.round applies — across k, thresholds, modes, and an
+    appended shard group (multi-row-per-term merge)."""
+    from light_splade_spark.index.build import build_index
+    from light_splade_spark.index.wand import wand_topk
+    from light_splade_spark.streaming.incremental import append_batch
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    idx = str(tmp_path / "lidx")
+    build_index(spark, docs, idx, n_shards=4, n_buckets=4, n_salts=2,
+                n_shard_groups=1)
+    extra = spark.createDataFrame(
+        [(990001, "data search appended index model")],
+        "doc_id BIGINT, text STRING")
+    append_batch(spark, idx, extra, "p1")
+    qs = [(0, "data search quality"), (1, "the index model"),
+          (2, "zzznonexistent"), (3, "train text web learn")]
+    for k, thr, mode in ((5, 0.0, "bmw"), (3, 1.0, "bmw"), (7, 0.0, "taat")):
+        dist = [(r.qid, r.rank, r.doc_id, r.score) for r in
+                wand_topk(spark, idx, qs, top_k=k, threshold=thr, mode=mode,
+                          local="never").orderBy("qid", "rank").collect()]
+        loc = [(r.qid, r.rank, r.doc_id, r.score) for r in
+               wand_topk(spark, idx, qs, top_k=k, threshold=thr, mode=mode,
+                         local="force").orderBy("qid", "rank").collect()]
+        assert dist == loc and len(loc) > 0, (k, thr, mode)
+    # auto: 4 queries with finite k -> local; assert no Spark job ran by
+    # checking the plan is a LocalTableScan (createDataFrame of a local pdf)
+    df = wand_topk(spark, idx, qs, top_k=5)
+    assert "LocalTableScan" in df._jdf.queryExecution().executedPlan().toString()
+    # target_doc_ids restriction agrees across routes too
+    tgt = [r.doc_id for r in
+           wand_topk(spark, idx, qs[:1], top_k=5, target_doc_ids=[1, 2, 3],
+                     local="force").collect()]
+    tgt_d = [r.doc_id for r in
+             wand_topk(spark, idx, qs[:1], top_k=5, target_doc_ids=[1, 2, 3],
+                       local="never").collect()]
+    assert tgt == tgt_d
