@@ -89,21 +89,51 @@ def _real_decode_audio(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
                        for s in segs], dtype=np.float32)
 
 
+def _pyav_video_features(payload: bytes, dim: int) -> np.ndarray:
+    """General-container decode (MP4/H.264/WebM/...) via the public PyAV
+    ffmpeg binding when installed — the same temporal pooling as the AVI
+    path: grayscale means of ``dim`` evenly-sampled frames."""
+    import av  # optional; caller guards ImportError
+
+    with av.open(io.BytesIO(bytes(payload))) as container:
+        stream = next((s for s in container.streams if s.type == "video"),
+                      None)
+        if stream is None:
+            raise ValueError("no video stream in container")
+        means = [float(np.asarray(f.to_ndarray(format="gray"),
+                                  dtype=np.float32).mean()) / 255.0
+                 for f in container.decode(stream)]
+    out = np.zeros(dim, dtype=np.float32)
+    if means:
+        idx = np.linspace(0, len(means) - 1, num=min(dim, len(means)),
+                          dtype=np.int64)
+        for i, fi in enumerate(idx):
+            out[i] = means[fi]
+    return out
+
+
 def _real_decode_video(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """RIFF/AVI decode via the pure-stdlib demuxer (operators/riff_avi.py):
     per-frame grayscale means over ``dim`` evenly-sampled frames. BI_RGB
     frames decode with numpy alone (runs everywhere, no ffmpeg); MJPG
-    frames route through PIL when installed; other codecs/containers raise
-    NotImplementedError naming what is missing — never a silent fake."""
+    frames route through PIL when installed. Non-AVI containers (MP4/H.264,
+    WebM, ...) route through PyAV when the public ``av`` package is
+    installed — otherwise a NotImplementedError naming what is missing,
+    never a silent fake."""
     from light_splade_spark.operators.riff_avi import AviError, video_features
 
     try:
         return video_features(bytes(payload), dim)
     except AviError as e:
-        raise NotImplementedError(
-            f"video payload is not RIFF/AVI ({e}); non-AVI containers "
-            "require ffmpeg/PyAV, which are not installed — use "
-            "decoder='fake' or repack as AVI") from e
+        try:
+            import av  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                f"video payload is not RIFF/AVI ({e}); non-AVI containers "
+                "require the public PyAV (ffmpeg) package, which is not "
+                "installed — install `av`, use decoder='fake', or repack "
+                "as AVI") from e
+        return _pyav_video_features(payload, dim)
 
 
 _REAL_DECODERS = {

@@ -83,3 +83,56 @@ def test_fake_decoder_unchanged_and_deterministic():
     b = mm.decode_features(b"payload", "audio", "fake")
     assert (a == b).all()  # fake features depend only on bytes
     assert (a == mm._fake_decode(b"payload")).all()
+
+
+# -- optional PyAV seam for non-AVI containers (skip-paired) ------------------
+
+def _pyav_available() -> bool:
+    try:
+        import av  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(_pyav_available(), reason="PyAV installed — the "
+                     "decode test runs instead")
+def test_non_avi_video_without_pyav_is_loud():
+    """Non-AVI bytes with no PyAV: the error names the missing package —
+    never a fabricated feature vector (round-4 'what's missing' #3)."""
+    from light_splade_spark.operators.multimodal import decode_features
+
+    with _pytest.raises(NotImplementedError, match="PyAV"):
+        decode_features(b"\x00\x00\x00\x18ftypmp42 not a real mp4", "video",
+                        "real")
+
+
+@_pytest.mark.skipif(not _pyav_available(), reason="public `av` (PyAV) not "
+                     "installed (skip-paired: the loud-absence test runs "
+                     "instead)")
+def test_non_avi_video_decodes_via_pyav(tmp_path):
+    """When PyAV is installed, encode a tiny MP4 with it and assert the
+    decode path recovers the brightness ramp, matching the AVI path's
+    temporal pooling semantics."""
+    import av
+    import numpy as np
+
+    from light_splade_spark.operators.multimodal import decode_features
+
+    p = tmp_path / "t.mp4"
+    with av.open(str(p), "w") as c:
+        s = c.add_stream("mpeg4", rate=25)
+        s.width, s.height, s.pix_fmt = 32, 32, "yuv420p"
+        for i in range(10):
+            img = np.full((32, 32, 3), int(255 * i / 9), dtype=np.uint8)
+            for pkt in s.encode(av.VideoFrame.from_ndarray(img, format="rgb24")):
+                c.mux(pkt)
+        for pkt in s.encode():
+            c.mux(pkt)
+    feats = decode_features(p.read_bytes(), "video", "real")
+    assert feats.shape == (16,)
+    ramp = feats[:10]
+    assert ramp[0] < 0.2 and ramp[9] > 0.8
