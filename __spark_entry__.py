@@ -137,6 +137,63 @@ def q_wand_point(spark, sf_dir):
     return wand_topk(spark, idx, QUERIES[:2], top_k=TOP_K, local="force")
 
 
+# Q:compacted_topk fixture: build over base docs, append app docs as one
+# streaming micro-batch (frozen-stats semantics), then LSM-compact — the
+# oracle recomputes the frozen-stats BM25 independently in DuckDB
+COMPACT_BASE, COMPACT_HI = 300, 340
+
+
+def _compacted_index(spark, sf_dir: str) -> str:
+    import hashlib
+
+    from light_splade_spark.index.build import (
+        INDEX_FORMAT_VERSION,
+        build_index,
+    )
+    from light_splade_spark.index.compact import compact_index
+    from light_splade_spark.index.manifest import (
+        CorruptIndexError,
+        IndexManifest,
+    )
+    from light_splade_spark.streaming.incremental import append_batch
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/lss_compact_idx_v{INDEX_FORMAT_VERSION}_{tag}"
+
+    def _build():
+        base = _docs(spark, sf_dir).where(F.col("doc_id") < COMPACT_BASE)
+        build_index(spark, base, idx, n_shards=4, n_buckets=8, n_salts=4,
+                    n_shard_groups=2)
+        app = _docs(spark, sf_dir).where(
+            (F.col("doc_id") >= COMPACT_BASE) & (F.col("doc_id") < COMPACT_HI))
+        append_batch(spark, idx, app, "b1")
+        compact_index(spark, idx)
+
+    try:
+        man = IndexManifest.load(idx)
+        if man.status != "complete" or man.compact_epoch < 1:
+            raise CorruptIndexError("cache not compacted")
+    except (OSError, CorruptIndexError):
+        import shutil
+        shutil.rmtree(idx, ignore_errors=True)
+        _build()
+    return idx
+
+
+def q_compacted_topk(spark, sf_dir):
+    """Append + LSM-compact lifecycle end-to-end (index/compact.py): build
+    over base docs, stream-append more (frozen N/avgdl/idf — the
+    reference's frozen-encoder micro-batch append), compact the groups to
+    one row per (shard, bucket, term), then retrieve. The oracle
+    recomputes the two-tier frozen-stats BM25 (build idf for base terms,
+    batch idf for append-only terms) with float32-rounded impacts —
+    hash-equality proves the whole lifecycle preserves scoring exactly."""
+    from light_splade_spark.index.wand import wand_topk
+
+    idx = _compacted_index(spark, sf_dir)
+    return wand_topk(spark, idx, QUERIES, top_k=TOP_K, local="never")
+
+
 def q_index_join_topk(spark, sf_dir):
     """Corpus-scale query route (J2 at >10^5 queries): decode the compressed
     index back to (term_id, doc_id, w) rows and score via a shuffle join +
@@ -757,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dot_topk": q_dot_topk,
         "wand_topk": q_wand_topk,
         "wand_point": q_wand_point,
+        "compacted_topk": q_compacted_topk,
         "index_join_topk": q_index_join_topk,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
@@ -834,6 +892,10 @@ def oracle_sql() -> dict[str, str]:
                                               float32_impacts=True)
     o["wand_point"] = bm25_sql.bm25_oracle_sql(QUERIES[:2], top_k=TOP_K,
                                                float32_impacts=True)
+    o["compacted_topk"] = bm25_sql.bm25_append_oracle_sql(
+        QUERIES, top_k=TOP_K,
+        base_pred=f"doc_id < {COMPACT_BASE}",
+        app_pred=f"doc_id >= {COMPACT_BASE} AND doc_id < {COMPACT_HI}")
     # the join-over-decoded-index route scores the same float32 impacts
     o["index_join_topk"] = bm25_sql.bm25_oracle_sql(QUERIES, top_k=TOP_K,
                                                     float32_impacts=True)

@@ -615,6 +615,10 @@ def build_index(
         if fail_after_group is not None and group >= fail_after_group:
             raise RuntimeError(f"simulated crash after shard group {group}")
     man.status = "complete"
+    # initial live set = the groups this build wrote (LSM liveness;
+    # index/compact.py). Empty groups never wrote a dir — harmless either
+    # way, the liveness filter is an allow-list over partition values.
+    man.live_groups = [str(g) for g in sorted(man.completed_groups)]
     man.save(index_dir)
     if weights_df is None:
         # the expansion parquet was a build-time intermediate only
@@ -627,9 +631,19 @@ def build_index(
 
 
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.option("basePath", os.path.join(index_dir, "postings")).parquet(
+    df = spark.read.option("basePath", os.path.join(index_dir, "postings")).parquet(
         os.path.join(index_dir, "postings")
     )
+    # LSM liveness (index/compact.py): a manifest carrying live_groups
+    # restricts readers to those shard_group partitions, which is what
+    # makes the compactor's manifest write an atomic commit (orphan dirs
+    # from a crashed GC are invisible). Partition pruning still applies:
+    # shard_group is a partition column, so the isin is a directory filter.
+    man = IndexManifest.load(index_dir)
+    if man.live_groups is not None:
+        df = df.where(F.col("shard_group").cast("string")
+                      .isin([str(g) for g in man.live_groups]))
+    return df
 
 
 def read_terms(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -1,0 +1,156 @@
+"""LSM-style index compaction: fold appended shard groups back to one
+posting row per (shard, bucket, term), with a crash-safe atomic commit.
+
+Why it exists at 100 TB: every streaming append (streaming/incremental.py)
+adds an immutable ``shard_group=append-*`` directory — the design that
+makes ingest idempotent and resumable — but each append adds one more
+posting row per touched (shard, term) that the query kernel must
+merge-sort at read time, and one more small-file layer per bucket. After
+thousands of micro-batches the read amplification and file-count creep
+are the classic LSM problem, and this is the classic LSM answer: rewrite
+the live groups into a single new group and atomically swap liveness.
+
+Mechanism (no new encode machinery — the build's own kernels re-run over
+decoded rows):
+
+1. ``decode_postings`` (join_scorer) explodes every LIVE posting row back
+   to (term_id, doc_id, w) — distributed, Arrow-batched;
+2. the build's phase-1/phase-2 kernels (``_encode_groups`` /
+   ``_merge_groups``) re-encode them under the manifest's own
+   block_size/weight_bits into ``postings/shard_group=compact-<epoch>``;
+3. **commit = one atomic manifest write**: ``live_groups`` flips to the
+   new group (IndexManifest.save is tmp+os.replace). Readers
+   (read_postings and the wand local path) filter partitions to
+   ``live_groups``, so a crash anywhere before the commit leaves every
+   query on the old groups, and a crash after the commit (before GC)
+   leaves orphan directories that no reader sees;
+4. GC deletes non-live group directories — safe to re-run at any time.
+
+Weight fidelity: weight_bits=32 round-trips float32 impacts bit-exactly —
+query results are byte-identical pre/post compaction (asserted in
+tests/test_compact.py). weight_bits=8 re-quantizes against the merged
+blocks' maxima, so scores may move within the original 1/255
+block-relative quantization error (rank-stability asserted instead).
+
+The reference has no compaction (its whole index is one gzip pickle,
+``sparse_indexer.py:200-217``); this operator exists for the scale the
+north rule targets, where rebuild-from-text costs hours but
+rewrite-from-index costs minutes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from light_splade_spark.index.build import (
+    POSTING_SCHEMA,
+    RUN_SCHEMA,
+    _encode_groups,
+    _merge_groups,
+)
+from light_splade_spark.index.manifest import IndexManifest, write_lineage
+
+
+def live_group_names(index_dir: str, man: IndexManifest) -> list[str]:
+    """The effective live set: the manifest's list when present, else every
+    physical ``shard_group=*`` directory (legacy indexes)."""
+    if man.live_groups is not None:
+        return list(man.live_groups)
+    pdir = os.path.join(index_dir, "postings")
+    return sorted(
+        d.split("=", 1)[1] for d in os.listdir(pdir)
+        if d.startswith("shard_group="))
+
+
+def compact_index(spark: SparkSession, index_dir: str, gc: bool = True,
+                  fail_before_commit: bool = False) -> IndexManifest:
+    """Rewrite all live posting groups into one ``compact-<epoch>`` group
+    and atomically swap liveness. Idempotent: a crashed run leaves the old
+    groups live and a rerun overwrites the staging group.
+
+    ``fail_before_commit`` is a crash-injection hook for tests: raises
+    after the new group is fully written but before the manifest commit.
+    """
+    man = IndexManifest.load(index_dir)
+    if man.status != "complete":
+        raise ValueError("cannot compact an incomplete index")
+    t0 = time.time()
+    epoch = int(getattr(man, "compact_epoch", 0)) + 1
+    group = f"compact-{epoch}"
+
+    from light_splade_spark.index.join_scorer import decode_postings
+    decoded = decode_postings(spark, index_dir)  # live-filtered
+
+    max_doc = spark.read.parquet(os.path.join(index_dir, "doc_stats")) \
+        .agg(F.max("doc_id")).collect()[0][0]
+    posts = decoded.select(
+        F.pmod(F.xxhash64("doc_id"), F.lit(man.n_shards)).cast("int")
+        .alias("shard"),
+        F.pmod(F.col("term_id"), F.lit(man.n_buckets)).cast("int")
+        .alias("bucket"),
+        "term_id", "doc_id", "w",
+        F.floor(F.col("doc_id") * man.n_salts / F.lit(int(max_doc) + 1))
+        .cast("int").alias("salt"),
+    )
+
+    bs, wb = man.block_size, man.weight_bits
+
+    def phase1(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _encode_groups(pdf, block_size=bs, weight_bits=wb)
+
+    runs = posts.groupBy("shard", "bucket", "salt").applyInPandas(
+        phase1, RUN_SCHEMA)
+    final = runs.groupBy("shard", "bucket").applyInPandas(
+        _merge_groups, POSTING_SCHEMA)
+    out_dir = os.path.join(index_dir, "postings", f"shard_group={group}")
+    (final.repartition(man.n_buckets, "bucket")
+     .sortWithinPartitions("term_id", "shard")
+     .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
+
+    written = spark.read.schema(POSTING_SCHEMA).parquet(out_dir)
+    lineage = [r.asDict() for r in written.groupBy("shard", "bucket").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+        F.sum(F.length("postings")).alias("postings_bytes"),
+        F.max("df").alias("max_df"),
+    ).orderBy("shard", "bucket").collect()]
+    compacted_from = live_group_names(index_dir, man)
+    for r in lineage:
+        r["wall_sec"] = round(time.time() - t0, 3)
+        r["analyzer_version"] = man.analyzer_version
+        r["compacted_from"] = compacted_from
+    write_lineage(index_dir, group, lineage)
+
+    if fail_before_commit:
+        raise RuntimeError("simulated crash before compaction commit")
+
+    # COMMIT: one atomic manifest replace flips liveness
+    man.live_groups = [group]
+    man.compact_epoch = epoch
+    man.save(index_dir)
+    if gc:
+        gc_postings(index_dir, man)
+    return man
+
+
+def gc_postings(index_dir: str, man: IndexManifest | None = None) -> list[str]:
+    """Delete posting group directories that are not live. Safe whenever:
+    readers never open non-live groups. Returns the removed group names."""
+    if man is None:
+        man = IndexManifest.load(index_dir)
+    if man.live_groups is None:
+        return []  # legacy index: everything is live
+    live = set(man.live_groups)
+    pdir = os.path.join(index_dir, "postings")
+    removed = []
+    for d in sorted(os.listdir(pdir)):
+        if d.startswith("shard_group=") and d.split("=", 1)[1] not in live:
+            shutil.rmtree(os.path.join(pdir, d), ignore_errors=True)
+            removed.append(d.split("=", 1)[1])
+    return removed

@@ -55,6 +55,12 @@ class IndexManifest:
     completed_groups: list[int] = field(default_factory=list)
     status: str = "building"
     created_unix: float = 0.0
+    # LSM liveness (index/compact.py): the shard_group partition values
+    # readers may see. None = legacy index, every physical dir is live.
+    # Maintained by build completion, append_batch, and compact_index;
+    # flipping it is the compactor's atomic commit.
+    live_groups: list[str] | None = None
+    compact_epoch: int = 0
 
     def save(self, index_dir: str) -> None:
         tmp = os.path.join(index_dir, "manifest.json.tmp")

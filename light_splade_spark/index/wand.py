@@ -372,13 +372,24 @@ def _wand_local(spark, index_dir, qplan, tids, buckets, top_k, threshold,
     gate-checked by Q:wand_point. Scale story: cost ∝ query-term posting
     bytes, independent of corpus partitions — the same reason a serving
     layer reads an index directly instead of launching a job."""
+    import pyarrow as pa
     import pyarrow.dataset as pds
 
+    # explicit string-typed shard_group: hive inference would type an
+    # all-numeric group set as int, breaking the liveness isin below
+    part = pds.partitioning(
+        pa.schema([("shard_group", pa.string()), ("bucket", pa.int32())]),
+        flavor="hive")
     data = pds.dataset(os.path.join(index_dir, "postings"),
-                       partitioning="hive")
+                       partitioning=part)
+    flt = pds.field("bucket").isin(buckets) & pds.field("term_id").isin(tids)
+    if man.live_groups is not None:
+        # LSM liveness (index/compact.py) — same allow-list the
+        # distributed read_postings applies
+        flt = flt & pds.field("shard_group").isin(
+            [str(g) for g in man.live_groups])
     tab = data.to_table(
-        filter=(pds.field("bucket").isin(buckets)
-                & pds.field("term_id").isin(tids)),
+        filter=flt,
         columns=["shard", "term_id", "postings", "bm_last", "bm_max"])
     pdf = tab.to_pandas()
     parts = []

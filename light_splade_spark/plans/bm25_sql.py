@@ -201,3 +201,82 @@ ranked AS (
 SELECT qid, rank, doc_id, score FROM ranked {limit_pred}
 ORDER BY qid, rank
 """
+
+
+def bm25_append_oracle_sql(queries: list[tuple[int, str]],
+                           base_pred: str, app_pred: str,
+                           top_k: int = 10, threshold: float = 0.0,
+                           table: str = "documents",
+                           id_col: str = "doc_id", text_col: str = "text",
+                           analyzer: Analyzer = ANALYZER_V1) -> str:
+    """Oracle for an index built over ``base_pred`` docs then APPENDED with
+    ``app_pred`` docs (streaming/incremental.append_batch semantics, which
+    mirror the reference's frozen-encoder micro-batch append):
+
+    * N and avgdl are FROZEN at build time (base docs only);
+    * terms present in the base keep their build idf (base df — appends
+      never update df);
+    * terms first seen in the append batch get idf from their batch df
+      against the frozen N;
+    * appended docs score with their own dl against the frozen avgdl.
+
+    Impacts are float32-rounded like the index blobs (sparse_indexer.py:47
+    dtype), so the result is hash-comparable with the WAND/compacted
+    routes. Assumes ONE append batch (two batches introducing the same new
+    term would pin the first batch's idf — exactly what append_batch does,
+    but not what this SQL computes)."""
+    qt = query_term_rows(queries, analyzer)
+    values = ", ".join(f"({qid}, '{term}', {qtf})" for qid, term, qtf in qt)
+    limit_pred = f"WHERE rank <= {top_k}" if top_k and top_k > 0 else ""
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc_id, unnest({analyzer.duckdb_tokens(text_col)}) AS term
+  FROM {table} WHERE ({base_pred}) OR ({app_pred})
+),
+dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM {table} WHERE {base_pred}) AS n,
+         (SELECT CAST(coalesce(sum(dl), 0) AS DOUBLE) FROM dl
+          WHERE doc_id IN (SELECT {id_col} FROM {table} WHERE {base_pred}))
+           / (SELECT count(*) FROM {table} WHERE {base_pred}) AS avgdl),
+df_base AS (
+  SELECT term, count(*) AS df FROM dt
+  WHERE doc_id IN (SELECT {id_col} FROM {table} WHERE {base_pred})
+  GROUP BY term),
+df_app AS (
+  SELECT term, count(*) AS df FROM dt
+  WHERE doc_id IN (SELECT {id_col} FROM {table} WHERE {app_pred})
+  GROUP BY term),
+tidf AS (
+  SELECT coalesce(b.term, a.term) AS term,
+         ln(1.0 + (s.n - coalesce(b.df, a.df) + 0.5)
+                / (coalesce(b.df, a.df) + 0.5)) AS idf
+  FROM df_base b FULL JOIN df_app a ON b.term = a.term
+  CROSS JOIN stats s),
+qt(qid, term, qtf) AS (VALUES {values}),
+scored AS (
+  SELECT qt.qid, dt.doc_id,
+         round(sum(
+           qt.qtf * CAST(CAST(
+             tidf.idf * (dt.tf * ({K1} + 1.0))
+               / (dt.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+           AS FLOAT) AS DOUBLE)
+         ), {SCORE_DECIMALS}) AS score
+  FROM qt
+  JOIN dt   ON qt.term = dt.term
+  JOIN tidf ON qt.term = tidf.term
+  JOIN dl   ON dt.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.qid, dt.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)
+           AS rank
+  FROM scored
+  WHERE score >= {threshold}
+)
+SELECT qid, rank, doc_id, score FROM ranked {limit_pred}
+ORDER BY qid, rank
+"""

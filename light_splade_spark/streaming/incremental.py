@@ -129,6 +129,14 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
         r["analyzer_version"] = analyzer.version
         r["append_batch"] = batch_id
     write_lineage(index_dir, f"append-{batch_id}", lineage)
+    # register the new group as live (LSM liveness, index/compact.py);
+    # set-union keeps foreachBatch retries idempotent. Legacy indexes
+    # (live_groups=None) stay legacy: all physical dirs remain live.
+    if man.live_groups is not None:
+        group = f"append-{batch_id}"
+        if group not in man.live_groups:
+            man.live_groups = [*man.live_groups, group]
+            man.save(index_dir)
     dt.unpersist()
 
 

@@ -1,0 +1,139 @@
+"""Index compaction (index/compact.py): LSM fold of appended shard groups
+with an atomic liveness commit — results identical, crash windows covered.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from light_splade_spark.index.build import build_index, read_postings
+from light_splade_spark.index.compact import (
+    compact_index,
+    gc_postings,
+    live_group_names,
+)
+from light_splade_spark.index.manifest import IndexManifest
+from light_splade_spark.index.wand import wand_topk
+from light_splade_spark.streaming.incremental import append_batch
+
+QS = [(0, "data search quality"), (1, "the index model text"),
+      (2, "train web learn"), (3, "appended fresh content")]
+
+
+def _results(spark, idx, local="never", k=8):
+    return [(r.qid, r.rank, r.doc_id, r.score) for r in
+            wand_topk(spark, idx, QS, top_k=k, local=local)
+            .orderBy("qid", "rank").collect()]
+
+
+def _groups_on_disk(idx):
+    return sorted(d.split("=", 1)[1]
+                  for d in os.listdir(os.path.join(idx, "postings"))
+                  if d.startswith("shard_group="))
+
+
+def _build_with_appends(spark, tmp_path, name, **kw):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .where(F.col("doc_id") < 300)
+    idx = str(tmp_path / name)
+    build_index(spark, docs, idx, n_shards=4, n_buckets=4, n_salts=2,
+                n_shard_groups=2, **kw)
+    app1 = spark.createDataFrame(
+        [(900001, "appended fresh content data"),
+         (900002, "appended model text search")],
+        "doc_id BIGINT, text STRING")
+    append_batch(spark, idx, app1, "a1")
+    app2 = spark.createDataFrame(
+        [(900003, "appended web index learn")], "doc_id BIGINT, text STRING")
+    append_batch(spark, idx, app2, "a2")
+    return idx
+
+
+def test_compact_identity_and_single_row_per_term(spark, tmp_path):
+    """weight_bits=32: post-compaction results are BYTE-identical on the
+    distributed, local, and join routes; postings collapse to one row per
+    (shard, bucket, term); non-live dirs are GC'd; liveness is tracked."""
+    from light_splade_spark.index.join_scorer import score_index_join
+
+    idx = _build_with_appends(spark, tmp_path, "cidx")
+    man0 = IndexManifest.load(idx)
+    assert man0.live_groups is not None and "append-a1" in man0.live_groups
+    before = _results(spark, idx)
+    before_local = _results(spark, idx, local="force")
+    qdf = spark.createDataFrame(QS, "qid BIGINT, text STRING")
+    before_join = [(r.qid, r.rank, r.doc_id, r.score) for r in
+                   score_index_join(spark, idx, qdf, top_k=8)
+                   .orderBy("qid", "rank").collect()]
+    # multi-row state exists pre-compaction (append groups touch old terms)
+    pre_max = read_postings(spark, idx).groupBy(
+        "shard", "bucket", "term_id").count().agg(F.max("count")).first()[0]
+    assert pre_max > 1
+
+    man = compact_index(spark, idx)
+    assert man.live_groups == ["compact-1"] and man.compact_epoch == 1
+    assert _groups_on_disk(idx) == ["compact-1"]  # gc removed the rest
+    post_max = read_postings(spark, idx).groupBy(
+        "shard", "bucket", "term_id").count().agg(F.max("count")).first()[0]
+    assert post_max == 1
+    assert _results(spark, idx) == before
+    assert _results(spark, idx, local="force") == before_local == before
+    after_join = [(r.qid, r.rank, r.doc_id, r.score) for r in
+                  score_index_join(spark, idx, qdf, top_k=8)
+                  .orderBy("qid", "rank").collect()]
+    assert after_join == before_join
+    # appended docs survived compaction
+    assert any(d >= 900001 for _, _, d, _ in _results(spark, idx))
+
+
+def test_crash_before_commit_leaves_old_live(spark, tmp_path):
+    """Crash after the new group is written but before the manifest commit:
+    queries still serve the OLD groups identically (the orphan staging dir
+    is invisible to the liveness filter), and a rerun completes."""
+    idx = _build_with_appends(spark, tmp_path, "crash")
+    before = _results(spark, idx)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_index(spark, idx, fail_before_commit=True)
+    man = IndexManifest.load(idx)
+    assert man.compact_epoch == 0 and "compact-1" not in (man.live_groups or [])
+    assert "compact-1" in _groups_on_disk(idx)  # orphan exists...
+    assert _results(spark, idx) == before      # ...but is not read
+    assert _results(spark, idx, local="force") == before
+    man2 = compact_index(spark, idx)           # rerun overwrites staging
+    assert man2.live_groups == ["compact-1"]
+    assert _results(spark, idx) == before
+
+
+def test_crash_after_commit_before_gc(spark, tmp_path):
+    """Commit landed, GC didn't: old dirs remain on disk but readers see
+    only the compacted group; gc_postings cleans up idempotently."""
+    idx = _build_with_appends(spark, tmp_path, "gccrash")
+    before = _results(spark, idx)
+    compact_index(spark, idx, gc=False)
+    disk = _groups_on_disk(idx)
+    assert "compact-1" in disk and "append-a1" in disk  # orphans linger
+    assert _results(spark, idx) == before
+    assert _results(spark, idx, local="force") == before
+    removed = gc_postings(idx)
+    assert "append-a1" in removed and _groups_on_disk(idx) == ["compact-1"]
+    assert gc_postings(idx) == []  # idempotent
+    assert _results(spark, idx) == before
+
+
+def test_compact_quantized_rank_stable(spark, tmp_path):
+    """weight_bits=8 re-quantizes against merged-block maxima: doc ranking
+    must be preserved and scores must stay within the 1/255 block-relative
+    quantization error of the pre-compaction scores."""
+    idx = _build_with_appends(spark, tmp_path, "q8", weight_bits=8)
+    before = {(r.qid, r.doc_id): r.score for r in
+              wand_topk(spark, idx, QS, top_k=0, local="never").collect()}
+    compact_index(spark, idx)
+    after = {(r.qid, r.doc_id): r.score for r in
+             wand_topk(spark, idx, QS, top_k=0, local="never").collect()}
+    assert set(before) == set(after)
+    for key, s0 in before.items():
+        # per-term error <= max_w/255; a query term contributes qtf times.
+        # loose uniform bound: 5% relative + small absolute slack
+        assert after[key] == pytest.approx(s0, rel=0.05, abs=0.05), key
