@@ -180,6 +180,60 @@ def _compacted_index(spark, sf_dir: str) -> str:
     return idx
 
 
+TOMB_MOD = 7  # Q:tombstoned_topk deletes doc_id % TOMB_MOD == 3
+
+
+def _tombstoned_index(spark, sf_dir: str) -> str:
+    """Cached index over base docs with doc_id % TOMB_MOD == 3 tombstoned
+    (never compacted — the query exercises the tombstone READ path)."""
+    import hashlib
+
+    from light_splade_spark.index.build import (
+        INDEX_FORMAT_VERSION,
+        build_index,
+    )
+    from light_splade_spark.index.manifest import (
+        CorruptIndexError,
+        IndexManifest,
+    )
+    from light_splade_spark.index.tombstones import (
+        delete_docs,
+        load_tombstone_ids,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/lss_tomb_idx_v{INDEX_FORMAT_VERSION}_{tag}"
+
+    def _build():
+        base = _docs(spark, sf_dir).where(F.col("doc_id") < COMPACT_BASE)
+        build_index(spark, base, idx, n_shards=4, n_buckets=8, n_salts=4,
+                    n_shard_groups=1)
+        delete_docs(spark, idx, [d for d in range(COMPACT_BASE)
+                                 if d % TOMB_MOD == 3])
+
+    try:
+        man = IndexManifest.load(idx)
+        if man.status != "complete" or load_tombstone_ids(idx) is None:
+            raise CorruptIndexError("cache missing tombstones")
+    except (OSError, CorruptIndexError):
+        import shutil
+        shutil.rmtree(idx, ignore_errors=True)
+        _build()
+    return idx
+
+
+def q_tombstoned_topk(spark, sf_dir):
+    """Tombstone-delete read path (index/tombstones.py): docs with
+    doc_id % 7 == 3 are deleted from the index; every query route must
+    exclude them while corpus statistics stay FROZEN (N/avgdl/df still
+    count the deleted docs — same contract as appends). Oracle: the
+    float32-impact BM25 SQL with the exclusion applied to scoring only."""
+    from light_splade_spark.index.wand import wand_topk
+
+    idx = _tombstoned_index(spark, sf_dir)
+    return wand_topk(spark, idx, QUERIES, top_k=TOP_K, local="never")
+
+
 def q_compacted_topk(spark, sf_dir):
     """Append + LSM-compact lifecycle end-to-end (index/compact.py): build
     over base docs, stream-append more (frozen N/avgdl/idf — the
@@ -815,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": q_wand_topk,
         "wand_point": q_wand_point,
         "compacted_topk": q_compacted_topk,
+        "tombstoned_topk": q_tombstoned_topk,
         "index_join_topk": q_index_join_topk,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
@@ -892,6 +947,10 @@ def oracle_sql() -> dict[str, str]:
                                               float32_impacts=True)
     o["wand_point"] = bm25_sql.bm25_oracle_sql(QUERIES[:2], top_k=TOP_K,
                                                float32_impacts=True)
+    o["tombstoned_topk"] = bm25_sql.bm25_oracle_sql(
+        QUERIES, top_k=TOP_K, float32_impacts=True,
+        table=f"(SELECT * FROM documents WHERE doc_id < {COMPACT_BASE})",
+        exclude_doc_pred=f"dt.doc_id % {TOMB_MOD} = 3")
     o["compacted_topk"] = bm25_sql.bm25_append_oracle_sql(
         QUERIES, top_k=TOP_K,
         base_pred=f"doc_id < {COMPACT_BASE}",

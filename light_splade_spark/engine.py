@@ -55,6 +55,23 @@ class Engine:
         """Row count, reference ``sparse_indexer.py:170-171``."""
         return self.manifest.n_docs
 
+    # -- mutate (LSM lifecycle; beyond the append-only reference) ------------
+
+    def delete(self, doc_ids: list[int]) -> int:
+        """Tombstone docs (index/tombstones.py): excluded from every query
+        route immediately, physically purged by the next ``compact()``.
+        Corpus stats stay frozen, same contract as appends."""
+        from light_splade_spark.index.tombstones import delete_docs
+        return delete_docs(self.spark, self.index_dir, doc_ids)
+
+    def compact(self, gc: bool = True):
+        """Fold appended groups + purge tombstones (index/compact.py);
+        atomic liveness commit, results preserved (bit-exact at
+        weight_bits=32)."""
+        from light_splade_spark.index.compact import compact_index
+        self.manifest = compact_index(self.spark, self.index_dir, gc=gc)
+        return self.manifest
+
     # -- retrieve ------------------------------------------------------------
 
     def retrieve(

@@ -134,6 +134,12 @@ def compact_index(spark: SparkSession, index_dir: str, gc: bool = True,
     man.live_groups = [group]
     man.compact_epoch = epoch
     man.save(index_dir)
+    # the compacted group was decoded through decode_postings, which drops
+    # tombstoned docs — the deletes are now physical, clear the markers
+    # (idempotent; a crash here leaves stale tombstones excluding docs
+    # that no longer exist — a no-op)
+    from light_splade_spark.index.tombstones import clear_tombstones
+    clear_tombstones(index_dir)
     if gc:
         gc_postings(index_dir, man)
     return man

@@ -96,7 +96,15 @@ def decode_postings(
                 "w": np.concatenate(ws_out),
             })
 
-    return posts.mapInPandas(run, "term_id BIGINT, doc_id BIGINT, w FLOAT")
+    out = posts.mapInPandas(run, "term_id BIGINT, doc_id BIGINT, w FLOAT")
+    # tombstone deletes (index/tombstones.py): excluded with a distributed
+    # anti-join — no driver-size bound on the delete set. Because
+    # compact_index decodes through here, compaction also purges them.
+    from light_splade_spark.index.tombstones import tombstones_df
+    tomb = tombstones_df(spark, index_dir)
+    if tomb is not None:
+        out = out.join(tomb, "doc_id", "left_anti")
+    return out
 
 
 def query_terms_df(spark: SparkSession, index_dir: str,

@@ -56,12 +56,14 @@ def _score_shard(
     target_docs: np.ndarray | None = None,
     weight_bits: int = 32,
     block_size: int = 128,
+    excluded_docs: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Exact per-shard top-k for every query. pdf: posting rows of ONE shard
     restricted to query terms. ``target_docs`` (sorted int64) restricts
     scoring to a doc subset at decode time — the reference's row-gather
     (sparse_indexer.py:163-168) pushed into the kernel instead of filtering
-    a full-corpus result."""
+    a full-corpus result. ``excluded_docs`` (sorted int64) removes docs at
+    decode time — the tombstone-delete read path (index/tombstones.py)."""
     raw: dict[int, list] = {}
     for r in pdf.itertuples(index=False):
         docs, ws = decode_run(bytes(r.postings), weight_bits=weight_bits)
@@ -74,8 +76,14 @@ def _score_shard(
             sizes = np.diff(np.concatenate(([0], ends)))
             scale = np.repeat(bm_max, sizes)
             ws = (ws.astype(np.float32) / 255.0) * scale
+        keep = None
         if target_docs is not None:
             keep = np.isin(docs, target_docs, assume_unique=False)
+        if excluded_docs is not None and excluded_docs.size:
+            drop = np.isin(docs, excluded_docs, assume_unique=False)
+            if drop.any():
+                keep = ~drop if keep is None else (keep & ~drop)
+        if keep is not None:
             docs, ws = docs[keep], ws[keep]
             if docs.size == 0:
                 continue
@@ -357,7 +365,7 @@ def _round_half_up(x: float, decimals: int = SCORE_DECIMALS) -> float:
 
 
 def _wand_local(spark, index_dir, qplan, tids, buckets, top_k, threshold,
-                mode, target, man) -> DataFrame:
+                mode, target, man, excluded=None) -> DataFrame:
     """Driver-local execution of the SAME shard kernel for point queries.
 
     A 1-4 query lookup against a built index is dominated by Spark job
@@ -398,7 +406,8 @@ def _wand_local(spark, index_dir, qplan, tids, buckets, top_k, threshold,
                                   threshold=threshold, mode=mode,
                                   target_docs=target,
                                   weight_bits=man.weight_bits,
-                                  block_size=man.block_size))
+                                  block_size=man.block_size,
+                                  excluded_docs=excluded))
     if parts:
         hits = pd.concat(parts, ignore_index=True)
     else:
@@ -458,6 +467,8 @@ def wand_topk(
     if not qplan:
         return spark.createDataFrame([], _RESULT_SCHEMA)
     man_early = IndexManifest.load(index_dir)
+    from light_splade_spark.index.tombstones import load_tombstone_ids
+    excluded = load_tombstone_ids(index_dir)
     if local not in ("auto", "never", "force"):
         raise ValueError(f"unknown local={local!r} (auto/never/force)")
     want_local = (
@@ -471,7 +482,8 @@ def wand_topk(
                 f"local='force' but {index_dir} is not a local filesystem "
                 "index")
         return _wand_local(spark, index_dir, qplan, tids, buckets, top_k,
-                           threshold, mode, target, man_early)
+                           threshold, mode, target, man_early,
+                           excluded=excluded)
     posts = read_postings(spark, index_dir).where(
         F.col("bucket").isin(buckets))  # partition pruning (<= n_buckets)
     if len(tids) > 256:
@@ -493,7 +505,7 @@ def wand_topk(
         return _score_shard(pdf, qplan=qplan, top_k=top_k,
                             threshold=threshold, mode=mode,
                             target_docs=target, weight_bits=wb,
-                            block_size=bs)
+                            block_size=bs, excluded_docs=excluded)
 
     shard_hits = posts.groupBy("shard").applyInPandas(
         kernel, "qid BIGINT, doc_id BIGINT, score DOUBLE"

@@ -140,11 +140,16 @@ def bm25_oracle_sql(queries: list[tuple[int, str]], top_k: int = 10,
                     threshold: float = 0.0, table: str = "documents",
                     id_col: str = "doc_id", text_col: str = "text",
                     float32_impacts: bool = False,
-                    analyzer: Analyzer = ANALYZER_V1) -> str:
+                    analyzer: Analyzer = ANALYZER_V1,
+                    exclude_doc_pred: str | None = None) -> str:
     """ANSI/DuckDB SQL computing the identical (qid, rank, doc_id, score).
 
     N and avgdl count ALL docs (avgdl = Σdl / N, an exact integer ratio),
     matching bm25_topk_docs and index/build.build_dims.
+
+    ``exclude_doc_pred`` (SQL boolean over ``dt.doc_id``) drops docs from
+    SCORING while corpus statistics stay frozen — the tombstone-delete
+    contract (index/tombstones.py): N/avgdl/df still count deleted docs.
 
     ``float32_impacts=True`` mirrors the WAND index path instead of the
     all-double SQL path: the per-(term, doc) impact w = idf * saturation is
@@ -158,6 +163,8 @@ def bm25_oracle_sql(queries: list[tuple[int, str]], top_k: int = 10,
         f"({qid}, '{term}', {qtf})" for qid, term, qtf in qt
     )
     limit_pred = f"WHERE rank <= {top_k}" if top_k and top_k > 0 else ""
+    exclude_clause = (f"WHERE NOT ({exclude_doc_pred})\n  "
+                      if exclude_doc_pred else "")
     impact = (f"ln(1.0 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))\n"
               f"           * (dt.tf * ({K1} + 1.0))\n"
               f"             / (dt.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))")
@@ -189,7 +196,7 @@ scored AS (
   JOIN tdf ON qt.term = tdf.term
   JOIN dl  ON dt.doc_id = dl.doc_id
   CROSS JOIN stats s
-  GROUP BY qt.qid, dt.doc_id
+  {exclude_clause}GROUP BY qt.qid, dt.doc_id
 ),
 ranked AS (
   SELECT qid, doc_id, score,

@@ -1,0 +1,89 @@
+"""Tombstone deletes (index/tombstones.py): excluded on every query route,
+physically purged by compaction, frozen-stats contract preserved.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from light_splade_spark.engine import Engine
+from light_splade_spark.index.join_scorer import score_index_join
+from light_splade_spark.index.tombstones import (
+    load_tombstone_ids,
+    tombstones_df,
+)
+from light_splade_spark.index.wand import wand_topk
+
+QS = [(0, "data search quality"), (1, "the index model text"),
+      (2, "train web learn")]
+
+
+def _hits(spark, idx, local="never", k=0):
+    return {(r.qid, r.doc_id): r.score for r in
+            wand_topk(spark, idx, QS, top_k=k, local=local).collect()}
+
+
+def test_delete_excludes_on_all_routes_and_compact_purges(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .where(F.col("doc_id") < 300)
+    idx = str(tmp_path / "tomb")
+    eng = Engine.build(spark, docs, idx, n_shards=4, n_buckets=4,
+                       n_salts=2, n_shard_groups=1)
+    before = _hits(spark, idx)
+    victims = sorted({d for _, d in before})[:3]
+    assert victims, "fixture queries must hit some docs"
+    n = eng.delete(victims)
+    assert n == len(victims)
+
+    # distributed WAND route: victims gone, every other score unchanged
+    after = _hits(spark, idx)
+    assert not any(d in victims for _, d in after)
+    assert after == {k: v for k, v in before.items() if k[1] not in victims}
+    # local point route agrees (top-k finite for eligibility)
+    loc = _hits(spark, idx, local="force", k=5)
+    assert not any(d in victims for _, d in loc)
+    # join route agrees
+    qdf = spark.createDataFrame(QS, "qid BIGINT, text STRING")
+    jn = {(r.qid, r.doc_id) for r in
+          score_index_join(spark, idx, qdf, top_k=0).collect()}
+    assert not any(d in victims for _, d in jn)
+    assert jn == set(after)
+
+    # delete is idempotent; ids load sorted
+    eng.delete(victims[:1])
+    ids = load_tombstone_ids(idx)
+    assert list(ids) == victims
+
+    # compaction purges physically and clears the tombstone markers
+    eng.compact()
+    assert tombstones_df(spark, idx) is None
+    assert load_tombstone_ids(idx) is None
+    assert _hits(spark, idx) == after  # scores identical post-purge
+    # deleted docs truly absent from the compacted postings, not just
+    # filtered: decode without any tombstones present
+    from light_splade_spark.index.join_scorer import decode_postings
+    remaining = {r.doc_id for r in
+                 decode_postings(spark, idx).select("doc_id")
+                 .distinct().collect()}
+    assert not (set(victims) & remaining)
+
+
+def test_target_and_exclusion_compose(spark, tmp_path):
+    """target_doc_ids inclusion and tombstone exclusion apply together."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .where(F.col("doc_id") < 120)
+    idx = str(tmp_path / "tgt")
+    eng = Engine.build(spark, docs, idx, n_shards=2, n_buckets=4,
+                       n_salts=2, n_shard_groups=1)
+    base = {r.doc_id for r in
+            wand_topk(spark, idx, [QS[0]], top_k=0, local="never",
+                      target_doc_ids=list(range(50))).collect()}
+    assert base
+    victim = sorted(base)[0]
+    eng.delete([victim])
+    got = {r.doc_id for r in
+           wand_topk(spark, idx, [QS[0]], top_k=0, local="never",
+                     target_doc_ids=list(range(50))).collect()}
+    assert got == base - {victim}
