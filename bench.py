@@ -345,6 +345,39 @@ def main() -> None:
         print(json.dumps(run_query_scaling_one(master, idx_dir, nq,
                                                extra_conf=conf)))
         return
+    if "--join-scale-one" in sys.argv:
+        # one (route, n_queries) measurement in ITS OWN process, so the
+        # reported ru_maxrss is that route's own driver footprint — a
+        # shared process would make every later reading a monotone floor
+        # set by earlier stages (round-5 review finding)
+        import resource
+
+        from light_splade_spark.index.join_scorer import score_index_join
+        from light_splade_spark.index.wand import wand_topk
+        from light_splade_spark.session import get_spark
+
+        i = sys.argv.index("--join-scale-one")
+        route, nq = sys.argv[i + 1], int(sys.argv[i + 2])
+        n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "800000"))
+        idx_dir = _ensure_scale_index(n_docs)
+        spark = get_spark(app_name=f"lss-join-scale-{route}-{nq}",
+                          master=f"local[{CPUS}]",
+                          extra_conf={"spark.sql.shuffle.partitions": "64"})
+        if route == "join":
+            qdf = spark.createDataFrame(_query_batch(nq),
+                                        "qid BIGINT, text STRING")
+            t, _ = _timed(lambda: _noop(
+                score_index_join(spark, idx_dir, qdf, top_k=10)))
+        else:
+            t, _ = _timed(lambda: _noop(wand_topk(
+                spark, idx_dir, _query_batch(nq), top_k=10, mode="bmw")))
+        rss = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+        print(json.dumps({"route": route, "n_queries": nq,
+                          "sec": round(t, 2), "qps": round(nq / t, 1),
+                          "driver_peak_rss_mb": rss}))
+        spark.stop()
+        return
     if "--join-scale" in sys.argv:
         # the index-backed join route (score_index_join) at its DESIGN
         # scale: synthetic queries joined against the decoded index
@@ -352,39 +385,31 @@ def main() -> None:
         # wand-route time at the same count for the crossover statement,
         # plus peak driver RSS — the join route's reason to exist is that
         # its driver memory stays flat while wand ships the whole query
-        # plan in a closure)
-        import resource
-
-        from light_splade_spark.index.join_scorer import score_index_join
-        from light_splade_spark.index.wand import wand_topk
-        from light_splade_spark.session import get_spark
-
-        def _rss_mb() -> float:
-            return round(
-                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+        # plan in a closure). Each (route, level) runs in a fresh process
+        # so RSS readings are stage-local.
+        import subprocess
 
         n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "800000"))
         nqs = [int(x) for x in os.environ.get(
             "SPARK_GRAFT_JOIN_QUERIES", "10000,100000").split(",")]
-        idx_dir = _ensure_scale_index(n_docs)
-        spark = get_spark(app_name="lss-join-scale", master=f"local[{CPUS}]",
-                          extra_conf={"spark.sql.shuffle.partitions": "64"})
+        _ensure_scale_index(n_docs)
+        routes = (["join", "wand"]
+                  if os.environ.get("SPARK_GRAFT_JOIN_VS_WAND", "1") != "0"
+                  else ["join"])
         out = {"metric": "join_route_qps", "n_docs": n_docs, "levels": {}}
         for nq in nqs:
-            qdf = spark.createDataFrame(_query_batch(nq),
-                                        "qid BIGINT, text STRING")
-            t, _ = _timed(lambda q=qdf: _noop(
-                score_index_join(spark, idx_dir, q, top_k=10)))
-            lvl = {"join_sec": round(t, 2), "join_qps": round(nq / t, 1),
-                   "driver_peak_rss_mb_after_join": _rss_mb()}
-            if os.environ.get("SPARK_GRAFT_JOIN_VS_WAND", "1") != "0":
-                tw, _ = _timed(lambda n=nq: _noop(wand_topk(
-                    spark, idx_dir, _query_batch(n), top_k=10, mode="bmw")))
-                lvl.update(wand_sec=round(tw, 2), wand_qps=round(nq / tw, 1),
-                           driver_peak_rss_mb_after_wand=_rss_mb())
+            lvl = {}
+            for route in routes:
+                r = json.loads(subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--join-scale-one", route, str(nq)],
+                    capture_output=True, text=True, check=True,
+                    env=os.environ).stdout.strip().splitlines()[-1])
+                lvl[f"{route}_sec"] = r["sec"]
+                lvl[f"{route}_qps"] = r["qps"]
+                lvl[f"{route}_driver_peak_rss_mb"] = r["driver_peak_rss_mb"]
             out["levels"][str(nq)] = lvl
         print(json.dumps(out))
-        spark.stop()
         return
     if "--query-scaling" in sys.argv:
         import subprocess

@@ -119,6 +119,15 @@ def make_mecab_wordpiece_analyzer(vocab, register: bool = True) -> Analyzer:
             "make_mecab_wordpiece_analyzer requires the public `fugashi` "
             "MeCab binding (+ `unidic-lite` dictionary); not installed in "
             "this environment")
+    try:
+        # construct a Tagger NOW: fugashi importing fine but the unidic
+        # dictionary missing would otherwise surface as a raw RuntimeError
+        # inside executor tasks, not here on the driver
+        _mecab_words("")
+    except RuntimeError as e:
+        raise NotImplementedError(
+            f"fugashi imported but its MeCab dictionary failed to load "
+            f"({e}); install `unidic-lite` (or configure unidic)") from e
     vset = frozenset(vocab)
     ana = Analyzer(
         version=mecab_vocab_version(vocab),

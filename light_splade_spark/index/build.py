@@ -596,18 +596,7 @@ def build_index(
         # (tiny corpora, sparse tails) writes zero data files, and
         # schema inference would fail on the empty directory
         written = spark.read.schema(POSTING_SCHEMA).parquet(out_dir)
-        lineage = [
-            r.asDict()
-            for r in written.groupBy("shard", "bucket").agg(
-                F.count(F.lit(1)).alias("n_terms"),
-                F.sum("df").alias("n_postings"),
-                F.sum(F.length("postings")).alias("postings_bytes"),
-                F.max("df").alias("max_df"),
-            ).orderBy("shard", "bucket").collect()
-        ]
-        for r in lineage:
-            r["wall_sec"] = round(time.time() - t0, 3)
-            r["analyzer_version"] = analyzer.version
+        lineage = collect_partition_lineage(written, t0, analyzer.version)
         write_lineage(index_dir, group, lineage)
         _tr(f"group{group}_lineage_done")
         man.completed_groups.append(group)
@@ -630,10 +619,33 @@ def build_index(
     return man
 
 
+def collect_partition_lineage(written: DataFrame, t0: float,
+                              analyzer_version: str, **extra) -> list[dict]:
+    """Per-(shard, bucket) lineage/metrics rows for a just-written posting
+    group — the one aggregation shape shared by build, append, and compact
+    (manifest.write_lineage consumers)."""
+    rows = [r.asDict() for r in written.groupBy("shard", "bucket").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+        F.sum(F.length("postings")).alias("postings_bytes"),
+        F.max("df").alias("max_df"),
+    ).orderBy("shard", "bucket").collect()]
+    for r in rows:
+        r["wall_sec"] = round(time.time() - t0, 3)
+        r["analyzer_version"] = analyzer_version
+        r.update(extra)
+    return rows
+
+
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
-    df = spark.read.option("basePath", os.path.join(index_dir, "postings")).parquet(
-        os.path.join(index_dir, "postings")
-    )
+    # explicit schema (data columns + partition columns): an index whose
+    # every doc was tombstoned compacts to a group with zero parquet part
+    # files, and schema inference would fail on it — the correct behavior
+    # is empty results, not a bricked index (tests/test_compact.py)
+    df = (spark.read
+          .schema(POSTING_SCHEMA + ", shard_group STRING")
+          .option("basePath", os.path.join(index_dir, "postings"))
+          .parquet(os.path.join(index_dir, "postings")))
     # LSM liveness (index/compact.py): a manifest carrying live_groups
     # restricts readers to those shard_group partitions, which is what
     # makes the compactor's manifest write an atomic commit (orphan dirs

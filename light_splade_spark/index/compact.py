@@ -53,6 +53,7 @@ from light_splade_spark.index.build import (
     RUN_SCHEMA,
     _encode_groups,
     _merge_groups,
+    collect_partition_lineage,
 )
 from light_splade_spark.index.manifest import IndexManifest, write_lineage
 
@@ -89,13 +90,26 @@ def compact_index(spark: SparkSession, index_dir: str, gc: bool = True,
 
     max_doc = spark.read.parquet(os.path.join(index_dir, "doc_stats")) \
         .agg(F.max("doc_id")).collect()[0][0]
-    posts = decoded.select(
+    # df-aware salt count, same as the build: rare terms get ONE doc-range
+    # slice, only df > run_size terms split across salts — keeps phase-1
+    # run rows ~vocab-sized instead of vocab*n_salts. The terms dim's df is
+    # build-time (stale under appends/deletes) but salt assignment only
+    # partitions work — any value is CORRECT, phase 2 merges the runs;
+    # left join + coalesce(df, 1) so a term missing from the dim (cannot
+    # normally happen) still keeps its postings.
+    from light_splade_spark.index.build import read_terms
+    tdf = F.broadcast(read_terms(spark, index_dir).select("term_id", "df"))
+    n_salts_t = F.least(
+        F.lit(man.n_salts),
+        F.ceil(F.coalesce(F.col("df"), F.lit(1))
+               / F.lit(float(man.run_size))).cast("int"))
+    posts = decoded.join(tdf, "term_id", "left").select(
         F.pmod(F.xxhash64("doc_id"), F.lit(man.n_shards)).cast("int")
         .alias("shard"),
         F.pmod(F.col("term_id"), F.lit(man.n_buckets)).cast("int")
         .alias("bucket"),
         "term_id", "doc_id", "w",
-        F.floor(F.col("doc_id") * man.n_salts / F.lit(int(max_doc) + 1))
+        F.floor(F.col("doc_id") * n_salts_t / F.lit(int(max_doc) + 1))
         .cast("int").alias("salt"),
     )
 
@@ -114,17 +128,9 @@ def compact_index(spark: SparkSession, index_dir: str, gc: bool = True,
      .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
 
     written = spark.read.schema(POSTING_SCHEMA).parquet(out_dir)
-    lineage = [r.asDict() for r in written.groupBy("shard", "bucket").agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        F.sum("df").alias("n_postings"),
-        F.sum(F.length("postings")).alias("postings_bytes"),
-        F.max("df").alias("max_df"),
-    ).orderBy("shard", "bucket").collect()]
-    compacted_from = live_group_names(index_dir, man)
-    for r in lineage:
-        r["wall_sec"] = round(time.time() - t0, 3)
-        r["analyzer_version"] = man.analyzer_version
-        r["compacted_from"] = compacted_from
+    lineage = collect_partition_lineage(
+        written, t0, man.analyzer_version,
+        compacted_from=live_group_names(index_dir, man))
     write_lineage(index_dir, group, lineage)
 
     if fail_before_commit:

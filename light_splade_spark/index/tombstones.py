@@ -40,7 +40,11 @@ def delete_docs(spark: SparkSession, index_dir: str,
     """Tombstone the given doc ids (idempotent — duplicates are fine, the
     readers use set semantics). Returns the number of ids written."""
     if isinstance(doc_ids, DataFrame):
-        df = doc_ids.select("doc_id").distinct()
+        from pyspark.sql import functions as F
+        # pin BIGINT: an int32 batch next to an int64 one would break the
+        # multi-batch tombstone reads with a parquet type conflict
+        df = doc_ids.select(
+            F.col("doc_id").cast("bigint").alias("doc_id")).distinct()
         n = df.count()
     else:
         df = spark.createDataFrame([(int(d),) for d in doc_ids],

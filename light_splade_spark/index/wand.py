@@ -390,6 +390,10 @@ def _wand_local(spark, index_dir, qplan, tids, buckets, top_k, threshold,
         flavor="hive")
     data = pds.dataset(os.path.join(index_dir, "postings"),
                        partitioning=part)
+    if not data.files:
+        # fully-tombstoned index compacted to an empty group: no parquet
+        # fragments at all -> empty result, not a schema error
+        return spark.createDataFrame([], _RESULT_SCHEMA)
     flt = pds.field("bucket").isin(buckets) & pds.field("term_id").isin(tids)
     if man.live_groups is not None:
         # LSM liveness (index/compact.py) — same allow-list the

@@ -100,6 +100,24 @@ def _pyav_video_features(payload: bytes, dim: int) -> np.ndarray:
                       None)
         if stream is None:
             raise ValueError("no video stream in container")
+        n = int(stream.frames or 0)
+        if n > 0:
+            # frame count known: pixel-convert ONLY the <=dim sampled
+            # frames (a long clip would otherwise pay a gray conversion +
+            # mean per frame to fill a 16-float vector); packets still
+            # demux/decode sequentially — inter-frame codecs need that
+            want = set(np.linspace(0, n - 1, num=min(dim, n),
+                                   dtype=np.int64).tolist())
+            means = []
+            for i, f in enumerate(container.decode(stream)):
+                if i in want:
+                    means.append(float(np.asarray(
+                        f.to_ndarray(format="gray"),
+                        dtype=np.float32).mean()) / 255.0)
+            out = np.zeros(dim, dtype=np.float32)
+            out[:len(means)] = means
+            return out
+        # unknown frame count: convert everything, then sample
         means = [float(np.asarray(f.to_ndarray(format="gray"),
                                   dtype=np.float32).mean()) / 255.0
                  for f in container.decode(stream)]

@@ -35,6 +35,7 @@ from light_splade_spark.index.build import (
     RUN_SCHEMA,
     _encode_groups,
     _merge_groups,
+    collect_partition_lineage,
 )
 from light_splade_spark.index.manifest import IndexManifest, write_lineage
 from light_splade_spark.plans.bm25_sql import B, K1
@@ -118,16 +119,8 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
     (doc_tokens(docs, id_col, text_col, analyzer=analyzer).select("doc_id", "dl")
      .write.mode("append").parquet(os.path.join(index_dir, "doc_stats")))
     written = spark.read.parquet(out_dir)
-    lineage = [r.asDict() for r in written.groupBy("shard", "bucket").agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        F.sum("df").alias("n_postings"),
-        F.sum(F.length("postings")).alias("postings_bytes"),
-        F.max("df").alias("max_df"),
-    ).orderBy("shard", "bucket").collect()]
-    for r in lineage:
-        r["wall_sec"] = round(time.time() - t0, 3)
-        r["analyzer_version"] = analyzer.version
-        r["append_batch"] = batch_id
+    lineage = collect_partition_lineage(written, t0, analyzer.version,
+                                        append_batch=batch_id)
     write_lineage(index_dir, f"append-{batch_id}", lineage)
     # register the new group as live (LSM liveness, index/compact.py);
     # set-union keeps foreachBatch retries idempotent. Legacy indexes
@@ -162,15 +155,18 @@ def stream_queries(spark: SparkSession, index_dir: str, stream: DataFrame,
     from light_splade_spark.index.wand import wand_topk
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        n = batch_df.count()
-        if n == 0:
+        # one action decides the route AND collects the small case: take()
+        # of threshold+1 rows either proves the batch is big (rows beyond
+        # the threshold exist) or IS the full batch the wand route needs
+        head = batch_df.take(join_route_threshold + 1)
+        if not head:
             return
-        if n > join_route_threshold:
+        if len(head) > join_route_threshold:
             out = score_index_join(spark, index_dir,
                                    batch_df.select("qid", "text"),
                                    top_k=top_k, threshold=threshold)
         else:
-            qs = [(int(r["qid"]), r["text"]) for r in batch_df.collect()]
+            qs = [(int(r["qid"]), r["text"]) for r in head]
             out = wand_topk(spark, index_dir, qs, top_k=top_k,
                             threshold=threshold, mode=mode)
         (out.withColumn("batch_id", F.lit(batch_id))

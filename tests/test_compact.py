@@ -137,3 +137,24 @@ def test_compact_quantized_rank_stable(spark, tmp_path):
         # per-term error <= max_w/255; a query term contributes qtf times.
         # loose uniform bound: 5% relative + small absolute slack
         assert after[key] == pytest.approx(s0, rel=0.05, abs=0.05), key
+
+
+def test_compact_fully_tombstoned_index_serves_empty(spark, tmp_path):
+    """Deleting every doc then compacting commits a group with zero parquet
+    part files; all query routes must serve EMPTY results, not a schema
+    error (round-5 review finding: read_postings explicit schema + local
+    path empty-dataset guard)."""
+    from light_splade_spark.index.join_scorer import score_index_join
+    from light_splade_spark.index.tombstones import delete_docs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .where(F.col("doc_id") < 60)
+    idx = str(tmp_path / "allgone")
+    build_index(spark, docs, idx, n_shards=2, n_buckets=4, n_salts=2,
+                n_shard_groups=1)
+    delete_docs(spark, idx, list(range(60)))
+    compact_index(spark, idx)
+    assert wand_topk(spark, idx, QS, top_k=5, local="never").count() == 0
+    assert wand_topk(spark, idx, QS, top_k=5, local="force").count() == 0
+    qdf = spark.createDataFrame(QS, "qid BIGINT, text STRING")
+    assert score_index_join(spark, idx, qdf, top_k=5).count() == 0
