@@ -80,11 +80,23 @@ def run_suite(master: str, shuffle_partitions: int = 32) -> dict:
         # one batch (amortized) + loop for p50/p95
         q["wand_batch"], _ = _timed(lambda: _noop(
             wand_topk(spark, idx_dir, DOCUMENTS_QUERY_SET, top_k=10, mode="bmw")))
+        # one warm-up single query before the latency loop: the batch above
+        # warms the DISTRIBUTED path; single queries take the driver-local
+        # path, whose one-time costs (pyarrow dataset machinery, pandas->
+        # Spark conversion init) belong to service startup, not to p50/p95
+        # — with only 7 samples the p95 IS the max, so an unwarmed first
+        # call would report startup, not steady-state latency
+        _noop(wand_topk(spark, idx_dir, DOCUMENTS_QUERY_SET[:1], top_k=10,
+                        mode="bmw"))
+        # 3 passes x 8 queries = 24 samples: with a single pass the p95 of
+        # 7 samples IS the max, so any one-off (GC pause, episodic host
+        # stall) reports as the tail; 24 samples put p95 at the 22nd
         lat = []
-        for qid, text in DOCUMENTS_QUERY_SET:
-            t, _ = _timed(lambda qq=[(qid, text)]: _noop(
-                wand_topk(spark, idx_dir, qq, top_k=10, mode="bmw")))
-            lat.append(t)
+        for _ in range(3):
+            for qid, text in DOCUMENTS_QUERY_SET:
+                t, _ = _timed(lambda qq=[(qid, text)]: _noop(
+                    wand_topk(spark, idx_dir, qq, top_k=10, mode="bmw")))
+                lat.append(t)
         lat.sort()
         extras["query_p50_sec"] = round(lat[len(lat) // 2], 3)
         extras["query_p95_sec"] = round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3)
