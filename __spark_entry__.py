@@ -180,6 +180,42 @@ def _compacted_index(spark, sf_dir: str) -> str:
     return idx
 
 
+STREAM_DEDUP_MOD = 40  # Q:stream_dedup: 200 docs -> 40 duplicate classes
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Stateful streaming exact-dedup end-to-end (streaming/dedup_stream.py,
+    applyInPandasWithState): 200 docs carrying only 40 distinct texts
+    (text of doc_id % 40) stream through the first-occurrence-wins
+    operator; the oracle is the batch SQL equivalent (min doc_id per md5
+    class). Runs a real AvailableNow streaming query into a fresh temp
+    sink each evaluation — deterministic output either way."""
+    import tempfile
+
+    from light_splade_spark.streaming.dedup_stream import stream_dedup
+
+    d = _docs(spark, sf_dir)
+    src_rows = (d.where(F.col("doc_id") < 200)
+                .select("doc_id", (F.col("doc_id") % STREAM_DEDUP_MOD)
+                        .alias("k"))
+                .join(d.select(F.col("doc_id").alias("k"), "text"), "k")
+                .select("doc_id", "text"))
+    base = tempfile.mkdtemp(prefix="lss_sdedup_")
+    import atexit
+    import shutil
+    # the returned DF reads the sink lazily; clean at process exit (after
+    # the harness collects), never mid-run — no cross-run accumulation
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = os.path.join(base, "in")
+    src_rows.coalesce(1).write.mode("overwrite").json(src)
+    stream = (spark.readStream.schema("doc_id BIGINT, text STRING")
+              .json(src))
+    q = stream_dedup(stream, os.path.join(base, "out"),
+                     os.path.join(base, "ckpt"))
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(base, "out"))
+
+
 TOMB_MOD = 7  # Q:tombstoned_topk deletes doc_id % TOMB_MOD == 3
 
 
@@ -870,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_point": q_wand_point,
         "compacted_topk": q_compacted_topk,
         "tombstoned_topk": q_tombstoned_topk,
+        "stream_dedup": q_stream_dedup,
         "index_join_topk": q_index_join_topk,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
@@ -947,6 +984,13 @@ def oracle_sql() -> dict[str, str]:
                                               float32_impacts=True)
     o["wand_point"] = bm25_sql.bm25_oracle_sql(QUERIES[:2], top_k=TOP_K,
                                                float32_impacts=True)
+    o["stream_dedup"] = f"""
+SELECT md5(t.text) AS h, g.doc_id, t.text
+FROM (SELECT doc_id % {STREAM_DEDUP_MOD} AS k, min(doc_id) AS doc_id
+      FROM documents WHERE doc_id < 200
+      GROUP BY doc_id % {STREAM_DEDUP_MOD}) g
+JOIN documents t ON t.doc_id = g.k
+"""
     o["tombstoned_topk"] = bm25_sql.bm25_oracle_sql(
         QUERIES, top_k=TOP_K, float32_impacts=True,
         table=f"(SELECT * FROM documents WHERE doc_id < {COMPACT_BASE})",
