@@ -216,6 +216,47 @@ def q_stream_dedup(spark, sf_dir):
     return spark.read.parquet(os.path.join(base, "out"))
 
 
+def q_stream_event_windows(spark, sf_dir):
+    """Watermarked tumbling-window streaming aggregation end-to-end
+    (streaming/windows.py): the events table replays as an AvailableNow
+    stream (sentinel event in a second batch advances the watermark so
+    every real window closes — the standard finite-replay finalization),
+    append-mode parquet sink, oracle = DuckDB time_bucket GROUP BY.
+    Exercises withWatermark + window(), the late-data rollup shape."""
+    import tempfile
+
+    from light_splade_spark.streaming.windows import stream_windowed_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "ts", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="lss_swin_")
+    import atexit
+    import shutil
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = os.path.join(base, "in")
+    ev.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "f1.parquet"))
+    sent = ev.agg(F.max("ts").alias("m")).select(
+        F.lit(999_999_999).alias("event_id"),
+        (F.col("m") + F.expr("INTERVAL 6 HOURS")).alias("ts"),
+        F.lit("zz_sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"))
+    sent.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "f2.parquet"))
+    stream = (spark.readStream
+              .schema("event_id BIGINT, ts TIMESTAMP, event_type STRING, "
+                      "value DOUBLE")
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    q = stream_windowed_counts(stream, os.path.join(base, "out"),
+                               os.path.join(base, "ckpt"))
+    q.awaitTermination(300)
+    return (spark.read.parquet(os.path.join(base, "out"))
+            .where(F.col("event_type") != "zz_sentinel")
+            .select(F.date_format("w_start", "yyyy-MM-dd HH:mm:ss")
+                    .alias("w_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
 TOMB_MOD = 7  # Q:tombstoned_topk deletes doc_id % TOMB_MOD == 3
 
 
@@ -907,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compacted_topk": q_compacted_topk,
         "tombstoned_topk": q_tombstoned_topk,
         "stream_dedup": q_stream_dedup,
+        "stream_event_windows": q_stream_event_windows,
         "index_join_topk": q_index_join_topk,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
@@ -990,6 +1032,13 @@ FROM (SELECT doc_id % {STREAM_DEDUP_MOD} AS k, min(doc_id) AS doc_id
       FROM documents WHERE doc_id < 200
       GROUP BY doc_id % {STREAM_DEDUP_MOD}) g
 JOIN documents t ON t.doc_id = g.k
+"""
+    o["stream_event_windows"] = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, event_type
 """
     o["tombstoned_topk"] = bm25_sql.bm25_oracle_sql(
         QUERIES, top_k=TOP_K, float32_impacts=True,
