@@ -55,6 +55,31 @@ class Engine:
         """Row count, reference ``sparse_indexer.py:170-171``."""
         return self.manifest.n_docs
 
+    def info(self) -> dict:
+        """Operational snapshot of the index's LSM state: manifest scalars,
+        live posting groups (and any orphan dirs awaiting GC), terms-dim
+        pointer, pending tombstone count."""
+        import os
+
+        from light_splade_spark.index.tombstones import load_tombstone_ids
+
+        man = IndexManifest.load(self.index_dir)
+        pdir = os.path.join(self.index_dir, "postings")
+        on_disk = sorted(d.split("=", 1)[1] for d in os.listdir(pdir)
+                         if d.startswith("shard_group="))
+        live = man.live_groups if man.live_groups is not None else on_disk
+        tombs = load_tombstone_ids(self.index_dir)
+        return {
+            "status": man.status, "n_docs": man.n_docs,
+            "analyzer_version": man.analyzer_version,
+            "scoring": man.scoring, "weight_bits": man.weight_bits,
+            "live_groups": list(live),
+            "orphan_groups": [g for g in on_disk if g not in set(live)],
+            "terms_dir": getattr(man, "terms_dir", "terms"),
+            "compact_epoch": getattr(man, "compact_epoch", 0),
+            "pending_tombstones": int(tombs.size) if tombs is not None else 0,
+        }
+
     # -- mutate (LSM lifecycle; beyond the append-only reference) ------------
 
     def delete(self, doc_ids: list[int]) -> int:

@@ -658,5 +658,12 @@ def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     return df
 
 
+def terms_path(index_dir: str) -> str:
+    """Current terms-dim directory — the manifest's pointer (compaction
+    rewrites terms into terms_v<epoch> and flips it atomically)."""
+    man = IndexManifest.load(index_dir)
+    return os.path.join(index_dir, getattr(man, "terms_dir", "terms"))
+
+
 def read_terms(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_dir, "terms"))
+    return spark.read.parquet(terms_path(index_dir))

@@ -133,12 +133,23 @@ def compact_index(spark: SparkSession, index_dir: str, gc: bool = True,
         compacted_from=live_group_names(index_dir, man))
     write_lineage(index_dir, group, lineage)
 
+    # terms-dim rewrite: appends accumulate one small parquet file per
+    # batch on the terms dir; fold them into one coalesced dir (content
+    # IDENTICAL — frozen-stats contract — only file count changes) and
+    # flip the manifest pointer in the same commit as liveness
+    old_terms = getattr(man, "terms_dir", "terms")
+    new_terms = f"terms_v{epoch}"
+    (spark.read.parquet(os.path.join(index_dir, old_terms))
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(index_dir, new_terms)))
+
     if fail_before_commit:
         raise RuntimeError("simulated crash before compaction commit")
 
-    # COMMIT: one atomic manifest replace flips liveness
+    # COMMIT: one atomic manifest replace flips liveness + terms pointer
     man.live_groups = [group]
     man.compact_epoch = epoch
+    man.terms_dir = new_terms
     man.save(index_dir)
     # the compacted group was decoded through decode_postings, which drops
     # tombstoned docs — the deletes are now physical, clear the markers
@@ -152,8 +163,9 @@ def compact_index(spark: SparkSession, index_dir: str, gc: bool = True,
 
 
 def gc_postings(index_dir: str, man: IndexManifest | None = None) -> list[str]:
-    """Delete posting group directories that are not live. Safe whenever:
-    readers never open non-live groups. Returns the removed group names."""
+    """Delete posting group directories that are not live, plus stale
+    terms-dim versions the manifest no longer points at. Safe whenever:
+    readers resolve both through the manifest. Returns removed names."""
     if man is None:
         man = IndexManifest.load(index_dir)
     if man.live_groups is None:
@@ -165,4 +177,9 @@ def gc_postings(index_dir: str, man: IndexManifest | None = None) -> list[str]:
         if d.startswith("shard_group=") and d.split("=", 1)[1] not in live:
             shutil.rmtree(os.path.join(pdir, d), ignore_errors=True)
             removed.append(d.split("=", 1)[1])
+    cur_terms = getattr(man, "terms_dir", "terms")
+    for d in sorted(os.listdir(index_dir)):
+        if (d == "terms" or d.startswith("terms_v")) and d != cur_terms:
+            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+            removed.append(d)
     return removed

@@ -61,6 +61,11 @@ class IndexManifest:
     # flipping it is the compactor's atomic commit.
     live_groups: list[str] | None = None
     compact_epoch: int = 0
+    # terms-dim directory name (relative to index_dir). Compaction rewrites
+    # the append-accumulated small files into terms_v<epoch> and flips this
+    # pointer in the same atomic manifest save as live_groups.
+    terms_dir: str = "terms"
+
 
     def save(self, index_dir: str) -> None:
         tmp = os.path.join(index_dir, "manifest.json.tmp")

@@ -317,7 +317,8 @@ def build_query_plan(
         qmaps = [(qid, dict(Counter(ana.py_tokenize(text))))
                  for qid, text in queries]
     vocab_needed = sorted({t for _, m in qmaps for t in m})
-    key = (index_dir, _os.path.getmtime(_os.path.join(index_dir, "terms")))
+    from light_splade_spark.index.build import terms_path as _tp
+    key = (index_dir, _os.path.getmtime(_tp(index_dir)))
     cached = _TERMS_CACHE.setdefault(key, {})
     missing = [t for t in vocab_needed if t not in cached]
     if missing:

@@ -57,7 +57,8 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
     analyzer = get_analyzer(man.analyzer_version)
     dt = doc_terms(docs, id_col, text_col, analyzer=analyzer).cache()
 
-    terms_path = os.path.join(index_dir, "terms")
+    from light_splade_spark.index.build import terms_path as _tp
+    terms_path = _tp(index_dir)
     known = spark.read.parquet(terms_path).select("term", "term_id", "idf", "df")
     batch_terms = dt.groupBy("term").agg(F.count(F.lit(1)).alias("bdf"))
     new_terms = (

@@ -75,6 +75,10 @@ def test_compact_identity_and_single_row_per_term(spark, tmp_path):
     man = compact_index(spark, idx)
     assert man.live_groups == ["compact-1"] and man.compact_epoch == 1
     assert _groups_on_disk(idx) == ["compact-1"]  # gc removed the rest
+    # terms dim folded into one versioned dir, old one GC'd, pointer flips
+    assert man.terms_dir == "terms_v1"
+    assert os.path.isdir(os.path.join(idx, "terms_v1"))
+    assert not os.path.isdir(os.path.join(idx, "terms"))
     post_max = read_postings(spark, idx).groupBy(
         "shard", "bucket", "term_id").count().agg(F.max("count")).first()[0]
     assert post_max == 1

@@ -87,3 +87,24 @@ def test_target_and_exclusion_compose(spark, tmp_path):
            wand_topk(spark, idx, [QS[0]], top_k=0, local="never",
                      target_doc_ids=list(range(50))).collect()}
     assert got == base - {victim}
+
+
+def test_engine_info_snapshot(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .where(F.col("doc_id") < 80)
+    idx = str(tmp_path / "info")
+    eng = Engine.build(spark, docs, idx, n_shards=2, n_buckets=4,
+                       n_salts=2, n_shard_groups=1)
+    eng.delete([1, 2, 3])
+    info = eng.info()
+    assert info["status"] == "complete" and info["n_docs"] == 80
+    assert info["pending_tombstones"] == 3
+    assert info["live_groups"] == ["0"] and info["orphan_groups"] == []
+    eng.compact(gc=False)
+    info2 = eng.info()
+    assert info2["live_groups"] == ["compact-1"]
+    assert "0" in info2["orphan_groups"]
+    assert info2["pending_tombstones"] == 0
+    assert info2["terms_dir"] == "terms_v1"
