@@ -216,6 +216,20 @@ def q_stream_dedup(spark, sf_dir):
     return spark.read.parquet(os.path.join(base, "out"))
 
 
+def _pin_stream_order(first_dir: str, second_dir: str) -> None:
+    """Force FileStreamSource batch order: it orders files by modification
+    time, and a coarse-mtime filesystem could tie (or invert) the two
+    writes — which for the windowed query would advance the watermark
+    past every real event. Pin mtimes explicitly: first < second."""
+    import time as _time
+
+    now = _time.time()
+    for d, t in ((first_dir, now - 60), (second_dir, now)):
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+
 def q_stream_event_windows(spark, sf_dir):
     """Watermarked tumbling-window streaming aggregation end-to-end
     (streaming/windows.py): the events table replays as an AvailableNow
@@ -243,6 +257,8 @@ def q_stream_event_windows(spark, sf_dir):
         F.lit(0.0).alias("value"))
     sent.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(src, "f2.parquet"))
+    _pin_stream_order(os.path.join(src, "f1.parquet"),
+                      os.path.join(src, "f2.parquet"))
     stream = (spark.readStream
               .schema("event_id BIGINT, ts TIMESTAMP, event_type STRING, "
                       "value DOUBLE")

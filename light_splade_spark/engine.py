@@ -58,16 +58,21 @@ class Engine:
     def info(self) -> dict:
         """Operational snapshot of the index's LSM state: manifest scalars,
         live posting groups (and any orphan dirs awaiting GC), terms-dim
-        pointer, pending tombstone count."""
+        pointer, pending tombstone count. Valid on an incomplete index too
+        (status says so; groups may be empty)."""
         import os
 
+        from light_splade_spark.index.compact import live_group_names
         from light_splade_spark.index.tombstones import load_tombstone_ids
 
         man = IndexManifest.load(self.index_dir)
         pdir = os.path.join(self.index_dir, "postings")
-        on_disk = sorted(d.split("=", 1)[1] for d in os.listdir(pdir)
-                         if d.startswith("shard_group="))
-        live = man.live_groups if man.live_groups is not None else on_disk
+        on_disk = (sorted(d.split("=", 1)[1] for d in os.listdir(pdir)
+                          if d.startswith("shard_group="))
+                   if os.path.isdir(pdir) else [])
+        live = (live_group_names(self.index_dir, man)
+                if os.path.isdir(pdir) or man.live_groups is not None
+                else [])
         tombs = load_tombstone_ids(self.index_dir)
         return {
             "status": man.status, "n_docs": man.n_docs,

@@ -173,13 +173,15 @@ def gc_postings(index_dir: str, man: IndexManifest | None = None) -> list[str]:
     live = set(man.live_groups)
     pdir = os.path.join(index_dir, "postings")
     removed = []
+    def _rm(path: str, name: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+        if not os.path.exists(path):  # only report deletions that happened
+            removed.append(name)
     for d in sorted(os.listdir(pdir)):
         if d.startswith("shard_group=") and d.split("=", 1)[1] not in live:
-            shutil.rmtree(os.path.join(pdir, d), ignore_errors=True)
-            removed.append(d.split("=", 1)[1])
+            _rm(os.path.join(pdir, d), d.split("=", 1)[1])
     cur_terms = getattr(man, "terms_dir", "terms")
     for d in sorted(os.listdir(index_dir)):
         if (d == "terms" or d.startswith("terms_v")) and d != cur_terms:
-            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
-            removed.append(d)
+            _rm(os.path.join(index_dir, d), d)
     return removed

@@ -317,8 +317,15 @@ def build_query_plan(
         qmaps = [(qid, dict(Counter(ana.py_tokenize(text))))
                  for qid, text in queries]
     vocab_needed = sorted({t for _, m in qmaps for t in m})
-    from light_splade_spark.index.build import terms_path as _tp
-    key = (index_dir, _os.path.getmtime(_tp(index_dir)))
+    # man is already loaded above — resolve the terms dir from it directly
+    # (terms_path() would re-read manifest.json on every call)
+    tdir = _os.path.join(index_dir, getattr(man, "terms_dir", "terms"))
+    key = (index_dir, _os.path.getmtime(tdir))
+    # evict keys of superseded terms-dir versions for this index: each
+    # append/compaction changes the key, and a long-running server would
+    # otherwise strand one dead vocab dict per epoch
+    for k in [k for k in _TERMS_CACHE if k[0] == index_dir and k != key]:
+        del _TERMS_CACHE[k]
     cached = _TERMS_CACHE.setdefault(key, {})
     missing = [t for t in vocab_needed if t not in cached]
     if missing:

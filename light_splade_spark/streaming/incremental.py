@@ -57,8 +57,7 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
     analyzer = get_analyzer(man.analyzer_version)
     dt = doc_terms(docs, id_col, text_col, analyzer=analyzer).cache()
 
-    from light_splade_spark.index.build import terms_path as _tp
-    terms_path = _tp(index_dir)
+    terms_path = os.path.join(index_dir, getattr(man, "terms_dir", "terms"))
     known = spark.read.parquet(terms_path).select("term", "term_id", "idf", "df")
     batch_terms = dt.groupBy("term").agg(F.count(F.lit(1)).alias("bdf"))
     new_terms = (

@@ -34,6 +34,10 @@ def test_windowed_counts_close_with_watermark(spark, tmp_path):
     # past every real window so append mode finalizes them all
     _events(spark, [(999, t0 + dt.timedelta(hours=5), "sentinel", 0.0)]) \
         .coalesce(1).write.mode("overwrite").parquet(str(src / "f2.parquet"))
+    # FileStreamSource orders batches by file mtime; pin the order so the
+    # sentinel can never land first (which would watermark-drop everything)
+    import __spark_entry__ as entry
+    entry._pin_stream_order(str(src / "f1.parquet"), str(src / "f2.parquet"))
 
     stream = (spark.readStream
               .schema("event_id BIGINT, ts TIMESTAMP, event_type STRING, "
