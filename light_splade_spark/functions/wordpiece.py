@@ -29,12 +29,16 @@ Three representations:
 * ``spark_tokens`` — an Arrow pandas UDF; length-agnostic, vocab ships
   once per executor in the closure (tokenization with a learned vocab is
   the one place the reference itself runs a heavy UDF, SURVEY §2.8). The
-  UDF body resolves a backend per worker: the Rust HF pipeline when the
-  public ``tokenizers`` package is installed (the same Rust code the
-  reference runs; removes the measured ~7x Python tax), else the Python
-  kernel. ``LSS_WORDPIECE_BACKEND=py|hf|auto`` overrides — set it BEFORE
-  the SparkSession starts so executors inherit it; ``hf`` without the
-  package fails loudly;
+  backend is resolved ONCE on the driver (``resolve_backend_name``:
+  ``LSS_WORDPIECE_BACKEND=py|hf|auto``, default auto = Rust HF pipeline
+  when the public ``tokenizers`` package is installed, else the Python
+  kernel) and shipped in the closure — executors obey the driver's choice
+  or fail loudly, never silently fall back, so a cluster with partial
+  ``tokenizers`` installs cannot mix token streams. When hf is chosen the
+  driver asserts hf/py parity on a multi-script probe set first, and
+  ``build_index`` records the resolved backend in the manifest. The
+  closure also carries the precompiled Unicode-class pattern spec, so
+  workers skip the ~0.7 s unicodedata scan;
 * ``wordpiece_basic_tokens_sql`` — the DuckDB mirror of ``basic_tokens``
   (``strip_accents(lower(..))`` + one RE2 extract). Verified equal to the
   Python kernel on Latin/accents/Cyrillic/Greek/Japanese/Thai/Hebrew/
@@ -120,15 +124,18 @@ def _cp_ranges(cps: list[int]):
     return out
 
 
+_SPEC_CACHE: dict[str, str] = {}
 _RE_CACHE: dict[str, re.Pattern] = {}
 
 
-def _compiled() -> dict[str, re.Pattern]:
-    """Exact Unicode category classes for stdlib ``re`` (which lacks
-    ``\\p{..}``), built once per process from unicodedata (~0.3 s; Python
-    workers are reused across Arrow batches so this amortizes)."""
-    if _RE_CACHE:
-        return _RE_CACHE
+def _pattern_spec() -> dict[str, str]:
+    """The three pattern STRINGS (clean / mn / token) built from exact
+    Unicode category classes — stdlib ``re`` lacks ``\\p{..}``. The
+    unicodedata scan costs ~0.7 s per process; the compiled-from-spec path
+    (``_compiled(spec)``) is free, so the driver builds this once and ships
+    it in the tokenizer UDF closure — executors never pay the scan."""
+    if _SPEC_CACHE:
+        return _SPEC_CACHE
     punct, mn, ctrl, zs = [], [], [], []
     for cp in range(sys.maxunicode + 1):
         cat = unicodedata.category(chr(cp))
@@ -150,10 +157,25 @@ def _compiled() -> dict[str, re.Pattern]:
     ideo_cls = _class_body(CJK_IDEO_RANGES)
     # space \t \n \r + the Z* categories collected above
     ws_cls = "\\u0009\\u000a\\u000d\\u0020" + _class_body(_cp_ranges(zs))
-    _RE_CACHE["clean"] = re.compile(f"[{_class_body(_cp_ranges(ctrl))}]")
-    _RE_CACHE["mn"] = re.compile(f"[{_class_body(_cp_ranges(mn))}]")
-    _RE_CACHE["token"] = re.compile(
-        f"[{p_cls}]|[{ideo_cls}]|[^{ws_cls}{p_cls}{ideo_cls}]+")
+    _SPEC_CACHE["clean"] = f"[{_class_body(_cp_ranges(ctrl))}]"
+    # ASCII-restricted clean class: searching the full ~10k-char class
+    # costs ~0.7 us/char, the 4-range ASCII one ~nothing — and an ASCII
+    # text can only contain ASCII control chars (Cc 0-8, 11, 12, 14-31,
+    # 127; 9/10/13 are kept as whitespace)
+    _SPEC_CACHE["clean_ascii"] = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+    _SPEC_CACHE["mn"] = f"[{_class_body(_cp_ranges(mn))}]"
+    _SPEC_CACHE["token"] = f"[{p_cls}]|[{ideo_cls}]|[^{ws_cls}{p_cls}{ideo_cls}]+"
+    return _SPEC_CACHE
+
+
+def _compiled(spec: dict[str, str] | None = None) -> dict[str, re.Pattern]:
+    """Compiled pattern tables, once per process. When ``spec`` (a driver-
+    built ``_pattern_spec()``) is provided — as the Spark UDF closure does —
+    the unicodedata scan is skipped entirely."""
+    if _RE_CACHE:
+        return _RE_CACHE
+    for k, p in (spec or _pattern_spec()).items():
+        _RE_CACHE[k] = re.compile(p)
     return _RE_CACHE
 
 
@@ -163,9 +185,31 @@ def basic_tokens(text: str) -> list[str]:
     -> whitespace-split -> per-token (lower, NFD strip-Mn) -> punct-split:
     lower/NFD never create whitespace/punctuation/ideographs, so one global
     lower+NFD+strip followed by one extraction regex yields the identical
-    stream."""
+    stream.
+
+    ASCII fast path (bulk webtext is ASCII): after the clean pass an ASCII
+    text needs no NFD, its whitespace set is exactly ``str.split``'s
+    surviving chars (space/\\t/\\n/\\r — \\v/\\f are control chars the clean
+    pass removed), and an ``isalnum()`` word contains no punctuation/symbol
+    char, so it IS its own single token — only words carrying punctuation
+    fall back to the extraction regex. Identical output to the general
+    path (hypothesis-verified against the literal HF algorithm in
+    tests/test_wordpiece.py), ~40x faster on pure-ASCII corpora."""
     tables = _compiled()
     t = text or ""
+    if t.isascii():
+        clean = tables["clean_ascii"]
+        if clean.search(t):  # control chars are rare
+            t = clean.sub("", t)
+        t = t.lower()
+        findall = tables["token"].findall
+        out: list[str] = []
+        for w in t.split():
+            if w.isalnum():
+                out.append(w)
+            else:
+                out.extend(findall(w))
+        return out
     if tables["clean"].search(t):  # control/format/U+FFFD chars are rare
         t = tables["clean"].sub("", t)
     t = t.lower()
@@ -173,7 +217,9 @@ def basic_tokens(text: str) -> list[str]:
         t = unicodedata.normalize("NFD", t)
         if tables["mn"].search(t):
             t = tables["mn"].sub("", t)
-    return tables["token"].findall(t)
+        return tables["token"].findall(t)
+    # the clean pass stripped every non-ASCII char: take the fast path
+    return basic_tokens(t)
 
 
 def wordpiece_basic_tokens_sql(col: str) -> str:
@@ -224,10 +270,22 @@ def wordpiece_word(word: str, vocab: frozenset[str],
 
 
 def _make_py_tokenize(vocab: frozenset[str]):
+    # Zipf makes word-level memoization the dominant win: across a corpus
+    # batch most basic tokens repeat, so the greedy WordPiece loop runs once
+    # per DISTINCT word per process, not once per occurrence. Bounded so a
+    # pathological all-distinct corpus can't grow driver/worker memory.
+    cache: dict[str, list[str]] = {}
+
     def py_tokenize(text: str) -> list[str]:
         out: list[str] = []
+        get = cache.get
         for w in basic_tokens(text):
-            out.extend(wordpiece_word(w, vocab))
+            p = get(w)
+            if p is None:
+                if len(cache) >= 1_000_000:
+                    cache.clear()
+                p = cache[w] = wordpiece_word(w, vocab)
+            out.extend(p)
         return out
     return py_tokenize
 
@@ -289,27 +347,65 @@ def make_hf_encode_batch(vocab: tuple[str, ...]):
 _WORKER_ENCODERS: dict[tuple, object] = {}  # per-process cache, keyed by vocab
 
 
-def _resolve_encode_batch(vocab_tuple: tuple[str, ...],
-                          vset: frozenset[str], version: str):
-    """Worker-side backend resolution: Rust HF pipeline when available (or
-    demanded), else the Python kernel. Cached per (process, vocab-version) —
-    the version string is stable across task deserializations, so one
-    encoder is built per worker process, not per task."""
-    key = (version, os.environ.get("LSS_WORDPIECE_BACKEND", "auto"))
+def resolve_backend_name() -> str:
+    """DRIVER-side backend resolution: ``LSS_WORDPIECE_BACKEND`` env (py |
+    hf | auto, default auto) + package presence -> the concrete backend
+    name ("py" or "hf") that every executor will be TOLD to use. Resolving
+    once on the driver and shipping the decision in the UDF closure (not
+    re-resolving per worker) closes the ADVICE-r5 divergence class: a
+    cluster with `tokenizers` on some executors but not others fails
+    loudly instead of silently mixing Rust and Python token streams."""
+    backend = os.environ.get("LSS_WORDPIECE_BACKEND", "auto")
+    if backend == "auto":
+        return "hf" if hf_backend_available() else "py"
+    if backend in ("py", "hf"):
+        return backend
+    raise ValueError(f"unknown LSS_WORDPIECE_BACKEND={backend!r} "
+                     "(use auto, py, or hf)")
+
+
+def _get_encoder(vocab_tuple: tuple[str, ...], vset: frozenset[str],
+                 version: str, backend: str,
+                 spec: dict[str, str] | None = None):
+    """Worker-side encoder for the DRIVER-resolved ``backend`` ("py"/"hf" —
+    never "auto": workers obey or fail loudly). Cached per (process,
+    vocab-version, backend); the version string is stable across task
+    deserializations, so one encoder is built per worker process."""
+    key = (version, backend)
     enc = _WORKER_ENCODERS.get(key)
     if enc is None:
-        backend = os.environ.get("LSS_WORDPIECE_BACKEND", "auto")
-        if backend == "hf" or (backend == "auto" and hf_backend_available()):
+        if backend == "hf":
             enc = make_hf_encode_batch(vocab_tuple)
-        elif backend in ("auto", "py"):
+        else:
+            _compiled(spec)  # seed pattern tables from the shipped spec
             py_tok = _make_py_tokenize(vset)
             enc = lambda texts: [py_tok(t) for t in texts]  # noqa: E731
-        else:
-            raise ValueError(
-                f"unknown LSS_WORDPIECE_BACKEND={backend!r} "
-                "(use auto, py, or hf)")
         _WORKER_ENCODERS[key] = enc
     return enc
+
+
+_PARITY_PROBE = (
+    "Hello, World! 42", "mañana — el día", "Привет мир", "Γειά σου",
+    "日本語テキストと漢字", "mixed_CASE token-stream; ~tilde~",
+)
+
+
+def _assert_hf_parity(vocab_tuple, vset, version) -> None:
+    """One-shot driver-side check that the Rust HF pipeline and the Python
+    kernel (the canonical mirror every oracle uses) agree on a probe set
+    spanning scripts — a unicode-version skew between the two would
+    otherwise silently build an index whose token stream disagrees with
+    query-side tokenization."""
+    hf = make_hf_encode_batch(vocab_tuple)(list(_PARITY_PROBE))
+    py_tok = _make_py_tokenize(vset)
+    py = [py_tok(t) for t in _PARITY_PROBE]
+    if hf != py:
+        bad = next(i for i in range(len(py)) if hf[i] != py[i])
+        raise RuntimeError(
+            f"wordpiece backend parity failure for analyzer {version}: HF "
+            f"Rust pipeline and Python kernel disagree on probe "
+            f"{_PARITY_PROBE[bad]!r} ({hf[bad]!r} != {py[bad]!r}); "
+            "set LSS_WORDPIECE_BACKEND=py or align the tokenizers install")
 
 
 def _make_spark_tokens(vocab: frozenset[str], vocab_tuple: tuple[str, ...],
@@ -322,18 +418,26 @@ def _make_spark_tokens(vocab: frozenset[str], vocab_tuple: tuple[str, ...],
 
     def spark_tokens(text, max_chars: int | None = None) -> Column:
         if "udf" not in holder:
+            backend = resolve_backend_name()
+            if backend == "hf":
+                _assert_hf_parity(vocab_tuple, vocab, version)
+            spec = dict(_pattern_spec())  # ships in the closure (~20 KB)
+
             @pandas_udf("array<string>")
             def wp_udf(texts: pd.Series) -> pd.Series:
-                enc = _resolve_encode_batch(vocab_tuple, vocab, version)
+                enc = _get_encoder(vocab_tuple, vocab, version, backend,
+                                   spec)
                 return pd.Series(
                     enc([t or "" for t in texts]), index=texts.index)
             holder["udf"] = wp_udf
+            holder["backend"] = backend
         c = F.col(text) if isinstance(text, str) else text
         if max_chars is not None:
             # the reference's pre-tokenize char budget (models/splade.py:229)
             c = F.substring(c, 1, max_chars)
         return holder["udf"](c)
 
+    spark_tokens.backend_holder = holder
     return spark_tokens
 
 

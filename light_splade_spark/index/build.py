@@ -509,6 +509,14 @@ def build_index(
             n_salts=n_salts, weight_bits=weight_bits, scoring=scoring,
         )
         man.created_unix = time.time()
+        if getattr(analyzer, "vocab", None):
+            # record which tokenizer implementation produces this index's
+            # token stream — resolved once on the driver, shipped to every
+            # executor via the UDF closure (functions/wordpiece.py)
+            from light_splade_spark.functions.wordpiece import (
+                resolve_backend_name,
+            )
+            man.wordpiece_backend = resolve_backend_name()
         _tr("dims")
         terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
         _tr("terms_written")

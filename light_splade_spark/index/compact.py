@@ -70,10 +70,19 @@ def live_group_names(index_dir: str, man: IndexManifest) -> list[str]:
 
 
 def compact_index(spark: SparkSession, index_dir: str, gc: bool = True,
-                  fail_before_commit: bool = False) -> IndexManifest:
+                  fail_before_commit: bool = False,
+                  _pre_commit_hook=None) -> IndexManifest:
     """Rewrite all live posting groups into one ``compact-<epoch>`` group
     and atomically swap liveness. Idempotent: a crashed run leaves the old
     groups live and a rerun overwrites the staging group.
+
+    SINGLE WRITER: appends, deletes, and compactions must be serialized by
+    the caller (jobs/maintain_index_job.py runs them sequentially). The
+    commit below still defends against an accidental overlap: it re-loads
+    the manifest and keeps any group that appeared after the decode
+    snapshot live (an append that landed mid-compaction is not folded in —
+    it stays as its own live group for the next compaction), and the
+    tombstone clear is epoch-fenced (see tombstones.py).
 
     ``fail_before_commit`` is a crash-injection hook for tests: raises
     after the new group is fully written but before the manifest commit.
@@ -82,8 +91,16 @@ def compact_index(spark: SparkSession, index_dir: str, gc: bool = True,
     if man.status != "complete":
         raise ValueError("cannot compact an incomplete index")
     t0 = time.time()
+    # epoch fence for the tombstone clear: only tombstone batches that
+    # existed BEFORE this point are guaranteed to be seen by the decode
+    # below (decode_postings loads tombstones when its plan is built);
+    # batches landing later are kept so a mid-compaction delete still
+    # excludes its docs after the clear (tests/test_tombstones.py)
+    decode_snapshot_ns = time.time_ns()
     epoch = int(getattr(man, "compact_epoch", 0)) + 1
     group = f"compact-{epoch}"
+
+    decoded_groups = set(live_group_names(index_dir, man))  # decode snapshot
 
     from light_splade_spark.index.join_scorer import decode_postings
     decoded = decode_postings(spark, index_dir)  # live-filtered
@@ -143,20 +160,37 @@ def compact_index(spark: SparkSession, index_dir: str, gc: bool = True,
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(index_dir, new_terms)))
 
+    if _pre_commit_hook is not None:
+        # test seam: runs with the new group fully written but the commit
+        # not yet taken — where a racing delete/append would land
+        _pre_commit_hook()
     if fail_before_commit:
         raise RuntimeError("simulated crash before compaction commit")
 
-    # COMMIT: one atomic manifest replace flips liveness + terms pointer
-    man.live_groups = [group]
+    # COMMIT: one atomic manifest replace flips liveness + terms pointer.
+    # Re-load first: an append that (against the single-writer contract)
+    # committed mid-compaction added a live group this decode never saw —
+    # keep it live (it is NOT in the compacted group) and refresh the
+    # terms coalesce so its appended term rows reach the new terms dir.
+    man = IndexManifest.load(index_dir)
+    survivors = [g for g in live_group_names(index_dir, man)
+                 if g not in decoded_groups and g != group]
+    if survivors:
+        (spark.read.parquet(os.path.join(index_dir, old_terms))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(index_dir, new_terms)))
+    man.live_groups = [group, *survivors]
     man.compact_epoch = epoch
     man.terms_dir = new_terms
     man.save(index_dir)
     # the compacted group was decoded through decode_postings, which drops
-    # tombstoned docs — the deletes are now physical, clear the markers
+    # tombstoned docs — those deletes are now physical, clear their markers
     # (idempotent; a crash here leaves stale tombstones excluding docs
-    # that no longer exist — a no-op)
+    # that no longer exist — a no-op). Epoch-fenced: batches newer than the
+    # decode snapshot survive, so a delete racing this compaction is never
+    # silently un-applied.
     from light_splade_spark.index.tombstones import clear_tombstones
-    clear_tombstones(index_dir)
+    clear_tombstones(index_dir, before_ns=decode_snapshot_ns)
     if gc:
         gc_postings(index_dir, man)
     return man

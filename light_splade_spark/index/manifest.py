@@ -65,6 +65,11 @@ class IndexManifest:
     # the append-accumulated small files into terms_v<epoch> and flips this
     # pointer in the same atomic manifest save as live_groups.
     terms_dir: str = "terms"
+    # tokenizer backend the build resolved ON THE DRIVER ("py" | "hf";
+    # None for non-wordpiece analyzers / legacy manifests). Recorded so the
+    # index declares which implementation produced its token stream; the
+    # driver also asserts hf/py parity at build time (functions/wordpiece).
+    wordpiece_backend: str | None = None
 
 
     def save(self, index_dir: str) -> None:

@@ -18,9 +18,16 @@ losers, quality refilters) without an hours-long rebuild. Design:
   reads through ``decode_postings``), and after the atomic liveness
   commit the tombstone files are cleared — a crash between the two leaves
   stale tombstones that exclude already-absent docs, a harmless no-op.
-  Single-writer assumption: deletes issued while a compaction is running
-  land after its decode snapshot and would be cleared unapplied — serialize
-  deletes with compactions (the same discipline appends already need).
+  The clear is EPOCH-FENCED: batch directories are time-named, and
+  ``clear_tombstones(before_ns=...)`` removes only batches older than the
+  compaction's decode snapshot — a delete issued while a compaction runs
+  survives the compact+clear and keeps excluding (possibly redundantly,
+  which is harmless; tested in tests/test_tombstones.py).
+* Delete-then-re-append: ``append_batch`` drops tombstones covering the
+  batch's doc ids, restoring the reference's documented zombie contract
+  (re-indexing an id leaves any not-yet-compacted old postings scoring
+  alongside the new ones, ``sparse_indexer.py:99-101``); without the drop
+  the stale tombstone would permanently hide the re-added doc.
 """
 
 from __future__ import annotations
@@ -82,9 +89,54 @@ def load_tombstone_ids(index_dir: str) -> np.ndarray | None:
     return ids.astype(np.int64) if ids.size else None
 
 
-def clear_tombstones(index_dir: str) -> None:
-    """Remove all tombstone batches — called by compact_index after its
-    commit (the compacted group no longer contains the deleted docs).
-    Idempotent; stale tombstones only ever exclude absent docs."""
-    shutil.rmtree(os.path.join(index_dir, TOMBSTONE_DIR),
-                  ignore_errors=True)
+def clear_tombstones(index_dir: str, before_ns: int | None = None) -> None:
+    """Remove tombstone batches — called by compact_index after its commit
+    (the compacted group no longer contains the deleted docs). Idempotent;
+    stale tombstones only ever exclude absent docs.
+
+    ``before_ns`` is the epoch fence: only batches whose time-encoded name
+    predates the compaction's decode snapshot are cleared, so a delete
+    issued mid-compaction (which the compactor's decode never saw) survives
+    and keeps excluding its docs. None clears everything."""
+    d = os.path.join(index_dir, TOMBSTONE_DIR)
+    if before_ns is None:
+        shutil.rmtree(d, ignore_errors=True)
+        return
+    if not os.path.isdir(d):
+        return
+    for name in os.listdir(d):
+        if not name.startswith("batch-"):
+            continue
+        try:
+            ts = int(name.split("-", 1)[1])
+        except ValueError:
+            continue  # foreign dir: keep (excluding absent docs is a no-op)
+        if ts < before_ns:
+            shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+
+
+def drop_tombstones_for(spark: SparkSession, index_dir: str,
+                        doc_ids: DataFrame) -> bool:
+    """Remove the given doc ids from the tombstone set (re-append support,
+    called by ``append_batch``). Consolidates the remaining ids into one
+    new batch, then deletes the old batch directories. Crash window: new
+    batch written but old dirs not yet removed -> the union still contains
+    the overlapping ids, and the idempotent append retry re-runs this drop.
+    Returns True when an overlap existed."""
+    from pyspark.sql import functions as F
+    tdf = tombstones_df(spark, index_dir)
+    if tdf is None:
+        return False
+    ids = doc_ids.select(
+        F.col("doc_id").cast("bigint").alias("doc_id")).distinct()
+    if not tdf.join(ids, "doc_id", "left_semi").take(1):
+        return False
+    d = os.path.join(index_dir, TOMBSTONE_DIR)
+    old = [n for n in os.listdir(d) if n.startswith("batch-")]
+    remaining = tdf.join(ids, "doc_id", "left_anti")
+    new_dir = os.path.join(d, f"batch-{time.time_ns()}")
+    remaining.write.mode("overwrite").parquet(new_dir)
+    for name in old:
+        if os.path.join(d, name) != new_dir:
+            shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+    return True

@@ -48,10 +48,22 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
 
     Re-running with the same ``batch_id`` overwrites the same group dir —
     idempotent, which is what foreachBatch retries require.
+
+    SINGLE WRITER: appends, deletes, and compactions must be serialized by
+    the caller (jobs/maintain_index_job.py runs them sequentially; a
+    streaming sink is one driver). Two concurrent writers can interleave
+    manifest saves and lose the other's liveness/pointer update.
+
+    Re-appending a tombstoned doc id drops its tombstone (the doc becomes
+    visible again); if its old postings were not yet compacted away they
+    score alongside the new ones — the reference's documented zombie
+    contract for re-indexed ids (``sparse_indexer.py:99-101``).
     """
     man = IndexManifest.load(index_dir)
     if man.status != "complete":
         raise ValueError("cannot append to an incomplete index")
+    if not docs.take(1):
+        return  # empty micro-batch: no group dir, no manifest churn
     t0 = time.time()
     # appended docs MUST be tokenized with the analyzer the index pins
     analyzer = get_analyzer(man.analyzer_version)
@@ -118,18 +130,30 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
     from light_splade_spark.functions.analyzers import doc_tokens
     (doc_tokens(docs, id_col, text_col, analyzer=analyzer).select("doc_id", "dl")
      .write.mode("append").parquet(os.path.join(index_dir, "doc_stats")))
-    written = spark.read.parquet(out_dir)
+    written = spark.read.schema(POSTING_SCHEMA).parquet(out_dir)
     lineage = collect_partition_lineage(written, t0, analyzer.version,
                                         append_batch=batch_id)
     write_lineage(index_dir, f"append-{batch_id}", lineage)
     # register the new group as live (LSM liveness, index/compact.py);
     # set-union keeps foreachBatch retries idempotent. Legacy indexes
     # (live_groups=None) stay legacy: all physical dirs remain live.
+    # RE-LOAD the manifest first: a compaction that committed while this
+    # append ran flipped live_groups/terms_dir, and saving the stale copy
+    # loaded at function start would resurrect GC'd groups and drop the
+    # compact pointer (the single-writer contract makes this impossible
+    # when followed; the reload makes the accidental overlap non-fatal).
+    man = IndexManifest.load(index_dir)
     if man.live_groups is not None:
         group = f"append-{batch_id}"
         if group not in man.live_groups:
             man.live_groups = [*man.live_groups, group]
             man.save(index_dir)
+    # drop tombstones covering re-appended ids (zombie contract — see
+    # docstring); after the group is live so a crash in between leaves the
+    # doc hidden only until the idempotent retry completes the drop
+    from light_splade_spark.index.tombstones import drop_tombstones_for
+    drop_tombstones_for(spark, index_dir,
+                        docs.select(F.col(id_col).alias("doc_id")))
     dt.unpersist()
 
 

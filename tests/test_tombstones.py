@@ -89,6 +89,111 @@ def test_target_and_exclusion_compose(spark, tmp_path):
     assert got == base - {victim}
 
 
+def test_reappend_drops_tombstone_and_restores_visibility(spark, tmp_path):
+    """Delete-then-re-append must NOT permanently hide the doc (ADVICE r5):
+    append_batch drops tombstones covering the batch's ids, restoring the
+    reference's zombie contract for re-indexed ids."""
+    from light_splade_spark.streaming.incremental import append_batch
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .where(F.col("doc_id") < 200)
+    idx = str(tmp_path / "reapp")
+    eng = Engine.build(spark, docs, idx, n_shards=2, n_buckets=4,
+                       n_salts=2, n_shard_groups=1)
+    before = _hits(spark, idx)
+    victim = sorted({d for _, d in before})[0]
+    other = sorted({d for _, d in before})[1]
+    eng.delete([victim, other])
+    assert victim not in {d for _, d in _hits(spark, idx)}
+
+    append_batch(spark, idx, docs.where(F.col("doc_id") == victim), "re1")
+    # victim visible again on every route; other stays deleted
+    for routed in (_hits(spark, idx),
+                   _hits(spark, idx, local="force", k=5)):
+        hit_docs = {d for _, d in routed}
+        assert victim in hit_docs and other not in hit_docs
+    assert list(load_tombstone_ids(idx)) == [other]
+    # compaction keeps the re-appended doc and purges the other
+    eng.compact()
+    assert victim in {d for _, d in _hits(spark, idx)}
+    assert other not in {d for _, d in _hits(spark, idx)}
+
+
+def test_delete_mid_compaction_survives_clear(spark, tmp_path):
+    """The epoch-fenced tombstone clear: a delete landing after the
+    compaction's decode snapshot is NOT cleared by its commit — the doc
+    stays excluded (previously it would be silently un-deleted)."""
+    from light_splade_spark.index.compact import compact_index
+    from light_splade_spark.index.tombstones import delete_docs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .where(F.col("doc_id") < 150)
+    idx = str(tmp_path / "race")
+    eng = Engine.build(spark, docs, idx, n_shards=2, n_buckets=4,
+                       n_salts=2, n_shard_groups=1)
+    before = _hits(spark, idx)
+    victim = sorted({d for _, d in before})[0]
+
+    compact_index(spark, idx,
+                  _pre_commit_hook=lambda: delete_docs(spark, idx, [victim]))
+    # tombstone survived the clear and still excludes
+    assert list(load_tombstone_ids(idx)) == [victim]
+    assert victim not in {d for _, d in _hits(spark, idx)}
+    # the NEXT compaction (which decodes through the tombstone) purges it
+    eng.compact()
+    assert load_tombstone_ids(idx) is None
+    assert victim not in {d for _, d in _hits(spark, idx)}
+
+
+def test_append_mid_compaction_stays_live(spark, tmp_path):
+    """An append committing mid-compaction (against the single-writer
+    contract) must not be wiped by the compaction commit: its group stays
+    live and its docs stay queryable."""
+    from light_splade_spark.index.compact import compact_index
+    from light_splade_spark.index.manifest import IndexManifest
+    from light_splade_spark.streaming.incremental import append_batch
+
+    alldocs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs = alldocs.where(F.col("doc_id") < 150)
+    app = alldocs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 170))
+    idx = str(tmp_path / "appr")
+    Engine.build(spark, docs, idx, n_shards=2, n_buckets=4,
+                 n_salts=2, n_shard_groups=1)
+
+    compact_index(spark, idx,
+                  _pre_commit_hook=lambda: append_batch(spark, idx, app, "mid"))
+    man = IndexManifest.load(idx)
+    assert man.live_groups == ["compact-1", "append-mid"]
+    # the appended docs answer queries after the compaction's GC
+    got = {d for _, d in _hits(spark, idx)}
+    want = {r.doc_id for r in
+            wand_topk(spark, idx, QS, top_k=0, local="never").collect()}
+    assert got == want
+    assert os.path.isdir(os.path.join(idx, "postings",
+                                      "shard_group=append-mid"))
+
+
+def test_empty_append_batch_is_noop(spark, tmp_path):
+    """An empty micro-batch must not write a group dir, churn the manifest,
+    or crash on schema inference (ADVICE r5)."""
+    import json
+
+    from light_splade_spark.streaming.incremental import append_batch
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .where(F.col("doc_id") < 60)
+    idx = str(tmp_path / "empt")
+    Engine.build(spark, docs, idx, n_shards=2, n_buckets=4,
+                 n_salts=2, n_shard_groups=1)
+    with open(os.path.join(idx, "manifest.json")) as f:
+        man_before = json.load(f)
+    groups_before = sorted(os.listdir(os.path.join(idx, "postings")))
+    append_batch(spark, idx, docs.where(F.lit(False)), "nil")
+    with open(os.path.join(idx, "manifest.json")) as f:
+        assert json.load(f) == man_before
+    assert sorted(os.listdir(os.path.join(idx, "postings"))) == groups_before
+
+
 def test_engine_info_snapshot(spark, tmp_path):
     from pyspark.sql import functions as F
 

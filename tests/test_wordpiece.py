@@ -143,6 +143,11 @@ def test_wordpiece_build_to_wand_rank_identity(spark, tmp_path, wp):
     stats = Engine.open(spark, idx).stats()
     assert stats["num_subword_tokens"] > 0
 
+    # the manifest records the DRIVER-resolved tokenizer backend (ADVICE
+    # r5): "py" here unless the `tokenizers` package is installed
+    assert man.wordpiece_backend == (
+        "hf" if hf_backend_available() else "py")
+
 
 def test_index_self_containment(spark, tmp_path, wp):
     """A process that never constructed the analyzer resolves it from the
@@ -394,5 +399,4 @@ def test_hf_backend_absent_is_loud(monkeypatch, spark):
         W.make_hf_encode_batch(tuple(FIXTURE_VOCAB))
     monkeypatch.setenv("LSS_WORDPIECE_BACKEND", "bogus")
     with pytest.raises(ValueError, match="LSS_WORDPIECE_BACKEND"):
-        W._resolve_encode_batch(tuple(FIXTURE_VOCAB),
-                                frozenset(FIXTURE_VOCAB), "vtest")
+        W.resolve_backend_name()
