@@ -137,10 +137,36 @@ def q_wand_point(spark, sf_dir):
     return wand_topk(spark, idx, QUERIES[:2], top_k=TOP_K, local="force")
 
 
-# Q:compacted_topk fixture: build over base docs, append app docs as one
-# streaming micro-batch (frozen-stats semantics), then LSM-compact — the
-# oracle recomputes the frozen-stats BM25 independently in DuckDB
-COMPACT_BASE, COMPACT_HI = 300, 340
+# Q:compacted_topk fixture: build over base docs, append TWO streaming
+# micro-batches (frozen-stats semantics), then LSM-compact. The synthetic
+# corpus has a closed 31-term vocabulary, so the batches inject novel
+# terms by doc_id rule — batch 1 introduces 'zephyr' (its idf pins to the
+# batch-1 df against the frozen N), batch 2 RE-introduces 'zephyr' (the
+# pin must hold — append_batch only left-anti-appends new terms) and first
+# introduces 'quux'. The DuckDB oracle recomputes the sequential
+# first-seen idf fold independently (bm25_append_oracle_sql, chained
+# FULL JOIN + priority coalesce) over the same doc_id-driven CASE text.
+COMPACT_BASE, COMPACT_HI, COMPACT_HI2 = 300, 340, 380
+
+# one doc_id-driven text transform, rendered for BOTH engines so the
+# corpora match by construction
+_COMPACT_CASE_SQL = f"""CASE
+  WHEN doc_id >= {COMPACT_BASE} AND doc_id < {COMPACT_HI}
+       AND doc_id % 3 = 0 THEN text || ' zephyr'
+  WHEN doc_id >= {COMPACT_HI} AND doc_id < {COMPACT_HI2}
+       AND doc_id % 2 = 0 THEN text || ' zephyr quux'
+  WHEN doc_id >= {COMPACT_HI} AND doc_id < {COMPACT_HI2}
+       AND doc_id % 5 = 0 THEN text || ' quux'
+  ELSE text END"""
+
+# the fixture query set must reach the injected terms: extend the shared
+# batch with queries that mix novel and base-vocab terms
+COMPACT_QUERIES = [*QUERIES, (90, "zephyr table"), (91, "quux zephyr scan")]
+
+
+def _compact_docs(spark, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_COMPACT_CASE_SQL).alias("text"))
 
 
 def _compacted_index(spark, sf_dir: str) -> str:
@@ -157,16 +183,22 @@ def _compacted_index(spark, sf_dir: str) -> str:
     )
     from light_splade_spark.streaming.incremental import append_batch
 
+    # f2 = fixture layout v2 (two append batches + injected novel terms);
+    # keeps any pre-existing one-batch cache dir from validating
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    idx = f"/tmp/lss_compact_idx_v{INDEX_FORMAT_VERSION}_{tag}"
+    idx = f"/tmp/lss_compact_idx_v{INDEX_FORMAT_VERSION}f2_{tag}"
 
     def _build():
-        base = _docs(spark, sf_dir).where(F.col("doc_id") < COMPACT_BASE)
+        d = _compact_docs(spark, sf_dir)
+        base = d.where(F.col("doc_id") < COMPACT_BASE)
         build_index(spark, base, idx, n_shards=4, n_buckets=8, n_salts=4,
                     n_shard_groups=2)
-        app = _docs(spark, sf_dir).where(
-            (F.col("doc_id") >= COMPACT_BASE) & (F.col("doc_id") < COMPACT_HI))
-        append_batch(spark, idx, app, "b1")
+        append_batch(spark, idx, d.where(
+            (F.col("doc_id") >= COMPACT_BASE)
+            & (F.col("doc_id") < COMPACT_HI)), "b1")
+        append_batch(spark, idx, d.where(
+            (F.col("doc_id") >= COMPACT_HI)
+            & (F.col("doc_id") < COMPACT_HI2)), "b2")
         compact_index(spark, idx)
 
     try:
@@ -338,7 +370,7 @@ def q_compacted_topk(spark, sf_dir):
     from light_splade_spark.index.wand import wand_topk
 
     idx = _compacted_index(spark, sf_dir)
-    return wand_topk(spark, idx, QUERIES, top_k=TOP_K, local="never")
+    return wand_topk(spark, idx, COMPACT_QUERIES, top_k=TOP_K, local="never")
 
 
 def q_index_join_topk(spark, sf_dir):
@@ -484,11 +516,14 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_quality_score(spark, sf_dir):
-    return tq.quality_score(_docs(spark, sf_dir))
-
-
-def q_token_count(spark, sf_dir):
-    return tq.token_count(_docs(spark, sf_dir))
+    """Quality scoring + token accounting in one per-doc report (F8/F9):
+    tq.quality_score's ratio features and keep flag joined with
+    tq.token_count's distinct/char counts (the two operators share the
+    doc_id key; folded into one driver row to fit the 50-row gate)."""
+    docs = _docs(spark, sf_dir)
+    counts = tq.token_count(docs).select("doc_id", "n_distinct",
+                                         "n_chars_text")
+    return tq.quality_score(docs).join(counts, "doc_id")
 
 
 def q_fingerprint(spark, sf_dir):
@@ -910,23 +945,25 @@ def q_doc_topterms(spark, sf_dir):
             .where(F.col("pos") <= 3).select("doc_id", "pos", "term", "weight"))
 
 
-def q_inverse_sigmoid(spark, sf_dir):
-    """F7: ln(p) - ln(1-p) with ±1e6 clamps (reference
-    run_predict_cross_encoder.py:45-54); p derived by exact integer
-    arithmetic so it stays strictly inside (0,1) in both engines."""
+def q_events_agg(spark, sf_dir):
+    """Event rollup per type, including the F7 inverse-sigmoid columns:
+    ln(p) - ln(1-p) with ±1e6 clamps (reference
+    run_predict_cross_encoder.py:45-54) computed per row — p derived by
+    exact integer arithmetic so it stays strictly inside (0,1) in both
+    engines, rounded to 3 like the reference's logit output — then
+    aggregated (folded into this row to fit the 50-row driver gate; the
+    avg/max stay sensitive to every row's logit)."""
     e = _tbl(spark, sf_dir, "events")
     p = (1.0 + F.pmod(F.floor(F.col("value") * 100), F.lit(998))) / 1000.0
     logit = F.log(p) - F.log(1.0 - p)
     clamped = F.when(logit > 1e6, 1e6).when(logit < -1e6, -1e6).otherwise(logit)
-    return e.select("event_id", F.round(clamped, 3).alias("logit"))
-
-
-def q_events_agg(spark, sf_dir):
-    e = _tbl(spark, sf_dir, "events")
+    lg = F.round(clamped, 3)
     return (e.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.countDistinct("user_id").alias("n_users"),
-                 F.round(F.avg("value"), 4).alias("avg_value")))
+                 F.round(F.avg("value"), 4).alias("avg_value"),
+                 F.round(F.avg(lg), 4).alias("avg_logit"),
+                 F.max(lg).alias("max_logit")))
 
 
 def q_events_tumbling(spark, sf_dir):
@@ -984,7 +1021,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_indexed_topk": q_ivf_indexed_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
-        "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "ranking_metrics": q_ranking_metrics,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1008,7 +1044,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": q_dup_components,
         "splade_expansion": q_splade_expansion,
         "doc_topterms": q_doc_topterms,
-        "inverse_sigmoid": q_inverse_sigmoid,
     }
 
 
@@ -1061,9 +1096,13 @@ GROUP BY 1, event_type
         table=f"(SELECT * FROM documents WHERE doc_id < {COMPACT_BASE})",
         exclude_doc_pred=f"dt.doc_id % {TOMB_MOD} = 3")
     o["compacted_topk"] = bm25_sql.bm25_append_oracle_sql(
-        QUERIES, top_k=TOP_K,
+        COMPACT_QUERIES, top_k=TOP_K,
+        table=f"(SELECT doc_id, {_COMPACT_CASE_SQL} AS text FROM documents)",
         base_pred=f"doc_id < {COMPACT_BASE}",
-        app_pred=f"doc_id >= {COMPACT_BASE} AND doc_id < {COMPACT_HI}")
+        app_pred=[
+            f"doc_id >= {COMPACT_BASE} AND doc_id < {COMPACT_HI}",
+            f"doc_id >= {COMPACT_HI} AND doc_id < {COMPACT_HI2}",
+        ])
     # the join-over-decoded-index route scores the same float32 impacts
     o["index_join_topk"] = bm25_sql.bm25_oracle_sql(QUERIES, top_k=TOP_K,
                                                     float32_impacts=True)
@@ -1342,18 +1381,12 @@ f AS (
          round(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) * 1.0
                / greatest(length(text), 1), 4) AS alnum_ratio
   FROM d)
-SELECT doc_id, n_tokens, ttr, mean_tok_len, stopword_ratio, alnum_ratio,
-       (n_tokens >= 10 AND ttr >= 0.1 AND mean_tok_len >= 2
-        AND mean_tok_len <= 12) AS keep
-FROM f
-"""
-
-    o["token_count"] = f"""
-WITH d AS (SELECT doc_id, text, {_TOK} AS toks FROM documents)
-SELECT doc_id, len(toks) AS n_tokens,
-       len(list_distinct(toks)) AS n_distinct,
-       length(text) AS n_chars_text
-FROM d
+SELECT f.doc_id, f.n_tokens, ttr, mean_tok_len, stopword_ratio, alnum_ratio,
+       (f.n_tokens >= 10 AND ttr >= 0.1 AND mean_tok_len >= 2
+        AND mean_tok_len <= 12) AS keep,
+       len(list_distinct(d.toks)) AS n_distinct,
+       length(d.text) AS n_chars_text
+FROM f JOIN d ON f.doc_id = d.doc_id
 """
 
     o["fingerprint"] = f"""
@@ -1453,9 +1486,22 @@ FROM orders WHERE o_custkey < 20 GROUP BY o_custkey
 """
 
     o["events_agg"] = """
+WITH l AS (
+  SELECT event_type, user_id, value,
+         ln(pr) - ln(1.0 - pr) AS logit
+  FROM (SELECT *,
+          (1.0 + (CAST(floor(value * 100) AS BIGINT) % 998)) / 1000.0 AS pr
+        FROM events)),
+c AS (
+  SELECT event_type, user_id, value,
+         round(CASE WHEN logit > 1e6 THEN 1e6
+                    WHEN logit < -1e6 THEN -1e6
+                    ELSE logit END, 3) AS lg
+  FROM l)
 SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
-       round(avg(value), 4) AS avg_value
-FROM events GROUP BY event_type
+       round(avg(value), 4) AS avg_value,
+       round(avg(lg), 4) AS avg_logit, max(lg) AS max_logit
+FROM c GROUP BY event_type
 """
 
     o["events_tumbling"] = """
@@ -1742,19 +1788,6 @@ ranked AS (
                             ORDER BY weight DESC, term ASC) AS pos
   FROM scored)
 SELECT doc_id, pos, term, weight FROM ranked WHERE pos <= 3
-"""
-
-    o["inverse_sigmoid"] = """
-WITH p AS (
-  SELECT event_id,
-         (1.0 + (CAST(floor(value * 100) AS BIGINT) % 998)) / 1000.0 AS pr
-  FROM events),
-l AS (SELECT event_id, ln(pr) - ln(1.0 - pr) AS logit FROM p)
-SELECT event_id,
-       round(CASE WHEN logit > 1e6 THEN 1e6
-                  WHEN logit < -1e6 THEN -1e6
-                  ELSE logit END, 3) AS logit
-FROM l
 """
 
     o["dup_components"] = f"""

@@ -211,34 +211,52 @@ ORDER BY qid, rank
 
 
 def bm25_append_oracle_sql(queries: list[tuple[int, str]],
-                           base_pred: str, app_pred: str,
+                           base_pred: str, app_pred: str | list[str],
                            top_k: int = 10, threshold: float = 0.0,
                            table: str = "documents",
                            id_col: str = "doc_id", text_col: str = "text",
                            analyzer: Analyzer = ANALYZER_V1) -> str:
     """Oracle for an index built over ``base_pred`` docs then APPENDED with
-    ``app_pred`` docs (streaming/incremental.append_batch semantics, which
-    mirror the reference's frozen-encoder micro-batch append):
+    one or more batches of ``app_pred`` docs, in order
+    (streaming/incremental.append_batch semantics, which mirror the
+    reference's frozen-encoder micro-batch append):
 
     * N and avgdl are FROZEN at build time (base docs only);
     * terms present in the base keep their build idf (base df — appends
       never update df);
-    * terms first seen in the append batch get idf from their batch df
-      against the frozen N;
+    * a term first seen in append batch i gets idf from its batch-i df
+      against the frozen N, PINNED there: a later batch re-introducing it
+      never updates it (append_batch only appends left-anti-new terms to
+      the terms dim) — the sequential first-seen fold is what the chained
+      FULL JOIN + priority coalesce below computes;
     * appended docs score with their own dl against the frozen avgdl.
 
     Impacts are float32-rounded like the index blobs (sparse_indexer.py:47
     dtype), so the result is hash-comparable with the WAND/compacted
-    routes. Assumes ONE append batch (two batches introducing the same new
-    term would pin the first batch's idf — exactly what append_batch does,
-    but not what this SQL computes)."""
+    routes."""
+    app_preds = [app_pred] if isinstance(app_pred, str) else list(app_pred)
     qt = query_term_rows(queries, analyzer)
     values = ", ".join(f"({qid}, '{term}', {qtf})" for qid, term, qtf in qt)
     limit_pred = f"WHERE rank <= {top_k}" if top_k and top_k > 0 else ""
+    any_app = " OR ".join(f"({p})" for p in app_preds)
+    df_batches = ",\n".join(
+        f"""df_a{i} AS (
+  SELECT term, count(*) AS df FROM dt
+  WHERE doc_id IN (SELECT {id_col} FROM {table} WHERE {p})
+  GROUP BY term)""" for i, p in enumerate(app_preds))
+    # chained FULL JOINs in batch order; coalesce priority = first-seen
+    aliases = ["b"] + [f"a{i}" for i in range(len(app_preds))]
+    joins = "df_base b"
+    for i in range(len(app_preds)):
+        seen = ", ".join(f"{a}.term" for a in aliases[: i + 1])
+        joins += (f"\n  FULL JOIN df_a{i} a{i} "
+                  f"ON coalesce({seen}) = a{i}.term")
+    term_expr = ", ".join(f"{a}.term" for a in aliases)
+    df_expr = ", ".join(f"{a}.df" for a in aliases)
     return f"""
 WITH tok AS (
   SELECT {id_col} AS doc_id, unnest({analyzer.duckdb_tokens(text_col)}) AS term
-  FROM {table} WHERE ({base_pred}) OR ({app_pred})
+  FROM {table} WHERE ({base_pred}) OR ({any_app})
 ),
 dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
@@ -251,15 +269,12 @@ df_base AS (
   SELECT term, count(*) AS df FROM dt
   WHERE doc_id IN (SELECT {id_col} FROM {table} WHERE {base_pred})
   GROUP BY term),
-df_app AS (
-  SELECT term, count(*) AS df FROM dt
-  WHERE doc_id IN (SELECT {id_col} FROM {table} WHERE {app_pred})
-  GROUP BY term),
+{df_batches},
 tidf AS (
-  SELECT coalesce(b.term, a.term) AS term,
-         ln(1.0 + (s.n - coalesce(b.df, a.df) + 0.5)
-                / (coalesce(b.df, a.df) + 0.5)) AS idf
-  FROM df_base b FULL JOIN df_app a ON b.term = a.term
+  SELECT coalesce({term_expr}) AS term,
+         ln(1.0 + (s.n - coalesce({df_expr}) + 0.5)
+                / (coalesce({df_expr}) + 0.5)) AS idf
+  FROM {joins}
   CROSS JOIN stats s),
 qt(qid, term, qtf) AS (VALUES {values}),
 scored AS (

@@ -113,3 +113,43 @@ def test_local_point_path_identical_to_distributed(spark, tmp_path):
              wand_topk(spark, idx, qs[:1], top_k=5, target_doc_ids=[1, 2, 3],
                        local="never").collect()]
     assert tgt == tgt_d
+
+
+def test_local_path_matrix_weights_target_tombstones(spark, tmp_path):
+    """Serving-layer completeness: the driver-local route must stay
+    byte-identical to the distributed plan for every combination of
+    impact-scored lookups (query_weights), target-doc restriction, and
+    tombstone exclusion — all three composed at once included."""
+    from light_splade_spark.index.build import build_index
+    from light_splade_spark.index.tombstones import delete_docs
+    from light_splade_spark.index.wand import wand_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .where("doc_id < 250")
+    idx = str(tmp_path / "midx")
+    build_index(spark, docs, idx, n_shards=4, n_buckets=4, n_salts=2,
+                n_shard_groups=1)
+    qs = [(0, "data search quality"), (1, "the index model")]
+    qw = [(0, {"data": 1.5, "search": 0.25, "quality": 1.0}),
+          (1, {"the": 0.1, "index": 2.0, "model": 1.0})]
+    targets = [None, list(range(0, 120, 2))]
+
+    def run(local, queries=None, query_weights=None, target=None):
+        return [(r.qid, r.rank, r.doc_id, r.score) for r in
+                wand_topk(spark, idx, queries, top_k=5,
+                          query_weights=query_weights,
+                          target_doc_ids=target, local=local)
+                .orderBy("qid", "rank").collect()]
+
+    for tombstoned in (False, True):
+        if tombstoned:
+            # delete a doc every route would otherwise return
+            victim = run("never", queries=qs)[0][2]
+            delete_docs(spark, idx, [victim])
+        for target in targets:
+            for kw in ({"queries": qs}, {"query_weights": qw}):
+                loc = run("force", target=target, **kw)
+                dist = run("never", target=target, **kw)
+                assert loc == dist and loc, (tombstoned, target, kw.keys())
+                if tombstoned:
+                    assert victim not in {d for _, _, d, _ in loc}
