@@ -226,6 +226,98 @@ def run_scaling(master: str, n_docs: int, shuffle_partitions: int = 64) -> dict:
             "build_docs_per_sec": round(n_docs / t_build, 1)}
 
 
+def run_lifecycle(n_docs: int = 800_000, batch_docs: int = 1_000,
+                  group_points: tuple[int, ...] = (1, 8, 64)) -> dict:
+    """LSM read-amplification protocol: query latency vs number of live
+    posting groups, then compaction cost and the post-compact latency.
+
+    Build a base index over ``n_docs`` synthetic docs (one group), then
+    stream-append ``batch_docs``-sized batches (each an immutable
+    ``append-*`` group) pausing at each ``group_points`` count to measure:
+    a 100-query distributed WAND batch (median of 3), a single-point
+    driver-local lookup (median of 5), posting file count and bytes. The
+    appended docs total <=8% of the corpus, so latency deltas are
+    attributable to group count, not corpus growth. Finally
+    ``compact_index`` runs (timed -> re-encode docs/s) and the same
+    measurements repeat over the single compacted group."""
+    from light_splade_spark.fixtures import make_corpus_df
+    from light_splade_spark.index.build import build_index
+    from light_splade_spark.index.compact import compact_index
+    from light_splade_spark.index.wand import wand_topk
+    from light_splade_spark.session import get_spark
+
+    wbits = int(os.environ.get("SPARK_GRAFT_WBITS", "8"))
+    spark = get_spark(app_name="lss-lifecycle", master=f"local[{CPUS}]",
+                      extra_conf={"spark.sql.shuffle.partitions": "64"})
+    max_groups = max(group_points)
+    total = n_docs + (max_groups - 1) * batch_docs
+    corpus_path = f"/tmp/lss_scaling_corpus_{total}"
+    if not os.path.exists(corpus_path):
+        make_corpus_df(spark, total).write.mode("overwrite") \
+            .parquet(corpus_path)
+    docs = spark.read.parquet(corpus_path)
+    idx = tempfile.mkdtemp(prefix="lss_lc_idx_")
+    shutil.rmtree(idx)
+
+    def _postings_stats() -> tuple[int, int]:
+        n_files = n_bytes = 0
+        for root, _, files in os.walk(os.path.join(idx, "postings")):
+            pq = [f for f in files if f.endswith(".parquet")]
+            n_files += len(pq)
+            n_bytes += sum(os.path.getsize(os.path.join(root, f))
+                           for f in pq)
+        return n_files, n_bytes
+
+    def _measure(state: str, n_groups: int) -> dict:
+        ts = sorted(_timed(lambda: _noop(wand_topk(
+            spark, idx, _query_batch(100), top_k=10, mode="bmw",
+            local="never")))[0] for _ in range(3))
+        pts = sorted(_timed(lambda: _noop(wand_topk(
+            spark, idx, [SCALING_QUERIES[1]], top_k=10,
+            local="force")))[0] for _ in range(5))
+        n_files, n_bytes = _postings_stats()
+        return {"state": state, "live_groups": n_groups,
+                "query100_sec_median3": round(ts[1], 3),
+                "query100_sec_runs": [round(t, 3) for t in ts],
+                "point_query_sec_median5": round(pts[2], 4),
+                "posting_files": n_files,
+                "posting_mb": round(n_bytes / 1e6, 1)}
+
+    rows = []
+    t_build, _ = _timed(lambda: build_index(
+        spark, docs.where(f"doc_id < {n_docs}"), idx, n_shards=None,
+        n_buckets=16, n_salts=8, n_shard_groups=1, run_size=4096,
+        weight_bits=wbits))
+    rows.append(_measure("built", 1))
+    from light_splade_spark.streaming.incremental import append_batch
+    groups = 1
+    t_appends = 0.0
+    while groups < max_groups:
+        lo = n_docs + (groups - 1) * batch_docs
+        t_a, _ = _timed(lambda: append_batch(
+            spark, idx,
+            docs.where(f"doc_id >= {lo} AND doc_id < {lo + batch_docs}"),
+            f"g{groups}"))
+        t_appends += t_a
+        groups += 1
+        if groups in group_points:
+            rows.append(_measure("appended", groups))
+    t_compact, _ = _timed(lambda: compact_index(spark, idx))
+    rows.append(_measure("compacted", 1))
+    spark.stop()
+    shutil.rmtree(idx, ignore_errors=True)
+    return {
+        "n_docs_base": n_docs, "batch_docs": batch_docs,
+        "n_appends": max_groups - 1,
+        "build_sec": round(t_build, 2),
+        "append_sec_total": round(t_appends, 2),
+        "append_sec_mean": round(t_appends / (max_groups - 1), 2),
+        "compact_sec": round(t_compact, 2),
+        "compact_docs_per_sec": round(total / t_compact, 1),
+        "states": rows,
+    }
+
+
 def _query_batch(n: int) -> list[tuple[int, str]]:
     return [(1000 + i, f"t{(7 * i) % 30000:05d} t{(13 * i) % 30000:05d} "
                        f"t{(29 * i) % 30000:05d} t{(41 * i) % 30000:05d}")
@@ -473,6 +565,13 @@ def main() -> None:
             "detail": res,
         }
         print(json.dumps(out))
+        return
+    if "--lifecycle" in sys.argv:
+        i = sys.argv.index("--lifecycle")
+        n_docs = (int(sys.argv[i + 1])
+                  if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit()
+                  else 800_000)
+        print(json.dumps(run_lifecycle(n_docs)))
         return
     if "--suite-one" in sys.argv:
         r = run_suite(f"local[{CPUS}]")
