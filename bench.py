@@ -146,6 +146,14 @@ def run_suite(master: str, shuffle_partitions: int = 32) -> dict:
         doc_tokens(sample, analyzer=wp).select("doc_id", "dl")))
     extras["tokenize_v1_docs_per_sec"] = round(n_sample / t_v1, 1)
     extras["tokenize_wp4_docs_per_sec"] = round(n_sample / t_wp, 1)
+    # the Spark-path numbers above are fixed-overhead-bound at a 2000-doc
+    # sample (job scheduling + Arrow round trip dwarf the work); this is
+    # the actual per-core kernel rate the build pays at scale — measured
+    # driver-side on the same texts, warm tables
+    texts = [r["text"] for r in sample.select("text").collect()]
+    wp.py_tokenize("warmup")
+    t_k, _ = _timed(lambda: [wp.py_tokenize(t) for t in texts])
+    extras["tokenize_wp4_kernel_docs_per_sec"] = round(len(texts) / t_k, 1)
     # optional Rust fast path (public HF `tokenizers`): measured only when
     # the package is installed; the backend flag reaches Arrow workers via
     # the driver env (inherited at session start in local mode)
@@ -269,43 +277,50 @@ def run_lifecycle(n_docs: int = 800_000, batch_docs: int = 1_000,
         return n_files, n_bytes
 
     def _measure(state: str, n_groups: int) -> dict:
+        # warm-up batch first: the state transition just ran a heavy job
+        # (build / append / compact), and the FIRST query pays codegen +
+        # Python-worker spin-up — not the read-amplification being measured
+        _noop(wand_topk(spark, idx, _query_batch(100), top_k=10,
+                        mode="bmw", local="never"))
         ts = sorted(_timed(lambda: _noop(wand_topk(
             spark, idx, _query_batch(100), top_k=10, mode="bmw",
-            local="never")))[0] for _ in range(3))
+            local="never")))[0] for _ in range(5))
         pts = sorted(_timed(lambda: _noop(wand_topk(
             spark, idx, [SCALING_QUERIES[1]], top_k=10,
-            local="force")))[0] for _ in range(5))
+            local="force")))[0] for _ in range(7))
         n_files, n_bytes = _postings_stats()
         return {"state": state, "live_groups": n_groups,
-                "query100_sec_median3": round(ts[1], 3),
+                "query100_sec_median5": round(ts[2], 3),
                 "query100_sec_runs": [round(t, 3) for t in ts],
-                "point_query_sec_median5": round(pts[2], 4),
+                "point_query_sec_median7": round(pts[3], 4),
                 "posting_files": n_files,
                 "posting_mb": round(n_bytes / 1e6, 1)}
 
     rows = []
-    t_build, _ = _timed(lambda: build_index(
-        spark, docs.where(f"doc_id < {n_docs}"), idx, n_shards=None,
-        n_buckets=16, n_salts=8, n_shard_groups=1, run_size=4096,
-        weight_bits=wbits))
-    rows.append(_measure("built", 1))
-    from light_splade_spark.streaming.incremental import append_batch
-    groups = 1
-    t_appends = 0.0
-    while groups < max_groups:
-        lo = n_docs + (groups - 1) * batch_docs
-        t_a, _ = _timed(lambda: append_batch(
-            spark, idx,
-            docs.where(f"doc_id >= {lo} AND doc_id < {lo + batch_docs}"),
-            f"g{groups}"))
-        t_appends += t_a
-        groups += 1
-        if groups in group_points:
-            rows.append(_measure("appended", groups))
-    t_compact, _ = _timed(lambda: compact_index(spark, idx))
-    rows.append(_measure("compacted", 1))
-    spark.stop()
-    shutil.rmtree(idx, ignore_errors=True)
+    try:
+        t_build, _ = _timed(lambda: build_index(
+            spark, docs.where(f"doc_id < {n_docs}"), idx, n_shards=None,
+            n_buckets=16, n_salts=8, n_shard_groups=1, run_size=4096,
+            weight_bits=wbits))
+        rows.append(_measure("built", 1))
+        from light_splade_spark.streaming.incremental import append_batch
+        groups = 1
+        t_appends = 0.0
+        while groups < max_groups:
+            lo = n_docs + (groups - 1) * batch_docs
+            t_a, _ = _timed(lambda: append_batch(
+                spark, idx,
+                docs.where(f"doc_id >= {lo} AND doc_id < {lo + batch_docs}"),
+                f"g{groups}"))
+            t_appends += t_a
+            groups += 1
+            if groups in group_points:
+                rows.append(_measure("appended", groups))
+        t_compact, _ = _timed(lambda: compact_index(spark, idx))
+        rows.append(_measure("compacted", 1))
+    finally:
+        spark.stop()
+        shutil.rmtree(idx, ignore_errors=True)
     return {
         "n_docs_base": n_docs, "batch_docs": batch_docs,
         "n_appends": max_groups - 1,

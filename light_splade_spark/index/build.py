@@ -509,14 +509,18 @@ def build_index(
             n_salts=n_salts, weight_bits=weight_bits, scoring=scoring,
         )
         man.created_unix = time.time()
-        if getattr(analyzer, "vocab", None):
-            # record which tokenizer implementation produces this index's
-            # token stream — resolved once on the driver, shipped to every
-            # executor via the UDF closure (functions/wordpiece.py)
+        holder = getattr(analyzer.spark_tokens, "backend_holder", None)
+        if holder is not None:
+            # wp4 family only (the MeCab analyzer has no py/hf backend):
+            # record the backend the tokenizer UDF actually PINNED when its
+            # plan was built (functions/wordpiece.py ships the driver's
+            # decision in the closure); fall back to a fresh resolution
+            # only if no tokenization plan has been constructed yet
             from light_splade_spark.functions.wordpiece import (
                 resolve_backend_name,
             )
-            man.wordpiece_backend = resolve_backend_name()
+            man.wordpiece_backend = (holder.get("backend")
+                                     or resolve_backend_name())
         _tr("dims")
         terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
         _tr("terms_written")
@@ -645,7 +649,8 @@ def collect_partition_lineage(written: DataFrame, t0: float,
     return rows
 
 
-def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+def read_postings(spark: SparkSession, index_dir: str,
+                  live_groups: list[str] | None = None) -> DataFrame:
     # explicit schema (data columns + partition columns): an index whose
     # every doc was tombstoned compacts to a group with zero parquet part
     # files, and schema inference would fail on it — the correct behavior
@@ -659,10 +664,15 @@ def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     # makes the compactor's manifest write an atomic commit (orphan dirs
     # from a crashed GC are invisible). Partition pruning still applies:
     # shard_group is a partition column, so the isin is a directory filter.
-    man = IndexManifest.load(index_dir)
-    if man.live_groups is not None:
+    # ``live_groups`` overrides the manifest's set — the compactor passes
+    # its decode snapshot here so the groups it folds and the groups it
+    # later subtracts from the commit are THE SAME list by construction.
+    if live_groups is None:
+        man = IndexManifest.load(index_dir)
+        live_groups = man.live_groups
+    if live_groups is not None:
         df = df.where(F.col("shard_group").cast("string")
-                      .isin([str(g) for g in man.live_groups]))
+                      .isin([str(g) for g in live_groups]))
     return df
 
 

@@ -91,19 +91,29 @@ def compact_index(spark: SparkSession, index_dir: str, gc: bool = True,
     if man.status != "complete":
         raise ValueError("cannot compact an incomplete index")
     t0 = time.time()
-    # epoch fence for the tombstone clear: only tombstone batches that
-    # existed BEFORE this point are guaranteed to be seen by the decode
-    # below (decode_postings loads tombstones when its plan is built);
-    # batches landing later are kept so a mid-compaction delete still
-    # excludes its docs after the clear (tests/test_tombstones.py)
-    decode_snapshot_ns = time.time_ns()
+    # epoch fence for the tombstone clear: snapshot the tombstone batch
+    # dirs that are FULLY WRITTEN (Spark's _SUCCESS marker) right now —
+    # only these are guaranteed visible to the decode below, and only
+    # these are cleared after the commit. A delete racing this compaction
+    # (written later, or mid-write without its _SUCCESS yet) survives the
+    # clear and keeps excluding its docs (tests/test_tombstones.py);
+    # if the decode happens to see it anyway, clearing is skipped and the
+    # stale marker just re-excludes absent docs — harmless.
+    from light_splade_spark.index.tombstones import (
+        clear_tombstones,
+        list_complete_tombstone_batches,
+    )
+    tombstone_snapshot = list_complete_tombstone_batches(index_dir)
     epoch = int(getattr(man, "compact_epoch", 0)) + 1
     group = f"compact-{epoch}"
 
-    decoded_groups = set(live_group_names(index_dir, man))  # decode snapshot
+    # the decode snapshot: the EXACT group list the decode reads (passed
+    # explicitly so decode cannot re-load a fresher manifest and fold in
+    # a group this commit would then double-count as a survivor)
+    decoded_groups = live_group_names(index_dir, man)
 
     from light_splade_spark.index.join_scorer import decode_postings
-    decoded = decode_postings(spark, index_dir)  # live-filtered
+    decoded = decode_postings(spark, index_dir, live_groups=decoded_groups)
 
     max_doc = spark.read.parquet(os.path.join(index_dir, "doc_stats")) \
         .agg(F.max("doc_id")).collect()[0][0]
@@ -173,8 +183,9 @@ def compact_index(spark: SparkSession, index_dir: str, gc: bool = True,
     # keep it live (it is NOT in the compacted group) and refresh the
     # terms coalesce so its appended term rows reach the new terms dir.
     man = IndexManifest.load(index_dir)
+    decoded_set = set(decoded_groups)
     survivors = [g for g in live_group_names(index_dir, man)
-                 if g not in decoded_groups and g != group]
+                 if g not in decoded_set and g != group]
     if survivors:
         (spark.read.parquet(os.path.join(index_dir, old_terms))
          .coalesce(1).write.mode("overwrite")
@@ -186,11 +197,10 @@ def compact_index(spark: SparkSession, index_dir: str, gc: bool = True,
     # the compacted group was decoded through decode_postings, which drops
     # tombstoned docs — those deletes are now physical, clear their markers
     # (idempotent; a crash here leaves stale tombstones excluding docs
-    # that no longer exist — a no-op). Epoch-fenced: batches newer than the
-    # decode snapshot survive, so a delete racing this compaction is never
-    # silently un-applied.
-    from light_splade_spark.index.tombstones import clear_tombstones
-    clear_tombstones(index_dir, before_ns=decode_snapshot_ns)
+    # that no longer exist — a no-op). Fenced: only the batches complete at
+    # the pre-decode snapshot are cleared, so a delete racing this
+    # compaction is never silently un-applied.
+    clear_tombstones(index_dir, batches=tombstone_snapshot)
     if gc:
         gc_postings(index_dir, man)
     return man

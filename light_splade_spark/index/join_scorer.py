@@ -41,6 +41,7 @@ def decode_postings(
     spark: SparkSession,
     index_dir: str,
     term_ids: list[int] | DataFrame | None = None,
+    live_groups: list[str] | None = None,
 ) -> DataFrame:
     """-> DataFrame(term_id BIGINT, doc_id BIGINT, w FLOAT).
 
@@ -50,10 +51,12 @@ def decode_postings(
     ``term_id`` column (broadcast semi-join — the million-query case where
     the distinct query-term set is itself large). Dequantization matches
     the WAND kernel bit-for-bit (weight_bits=8 -> block-relative uint8).
+    ``live_groups`` pins the exact shard-group set to read (compactor's
+    decode snapshot) instead of re-loading the manifest.
     """
     man = IndexManifest.load(index_dir)
     wb = man.weight_bits
-    posts = read_postings(spark, index_dir)
+    posts = read_postings(spark, index_dir, live_groups=live_groups)
     if term_ids is not None:
         if isinstance(term_ids, DataFrame):
             tdf = term_ids.select("term_id").distinct()

@@ -18,11 +18,11 @@ losers, quality refilters) without an hours-long rebuild. Design:
   reads through ``decode_postings``), and after the atomic liveness
   commit the tombstone files are cleared — a crash between the two leaves
   stale tombstones that exclude already-absent docs, a harmless no-op.
-  The clear is EPOCH-FENCED: batch directories are time-named, and
-  ``clear_tombstones(before_ns=...)`` removes only batches older than the
-  compaction's decode snapshot — a delete issued while a compaction runs
-  survives the compact+clear and keeps excluding (possibly redundantly,
-  which is harmless; tested in tests/test_tombstones.py).
+  The clear is FENCED: the compactor snapshots the batch dirs whose write
+  has committed (``list_complete_tombstone_batches``, _SUCCESS marker)
+  before its decode and clears exactly those — a delete issued while a
+  compaction runs survives the compact+clear and keeps excluding
+  (possibly redundantly, which is harmless; tests/test_tombstones.py).
 * Delete-then-re-append: ``append_batch`` drops tombstones covering the
   batch's doc ids, restoring the reference's documented zombie contract
   (re-indexing an id leaves any not-yet-compacted old postings scoring
@@ -89,30 +89,38 @@ def load_tombstone_ids(index_dir: str) -> np.ndarray | None:
     return ids.astype(np.int64) if ids.size else None
 
 
-def clear_tombstones(index_dir: str, before_ns: int | None = None) -> None:
+def list_complete_tombstone_batches(index_dir: str) -> list[str]:
+    """Names of tombstone batch dirs whose parquet write has COMMITTED
+    (Spark's _SUCCESS marker present). This is the compactor's fence
+    snapshot: a batch complete now is guaranteed readable by a decode
+    built later; a batch mid-write (no _SUCCESS yet) or created later is
+    excluded — and therefore survives the post-commit clear."""
+    d = os.path.join(index_dir, TOMBSTONE_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        n for n in os.listdir(d)
+        if n.startswith("batch-")
+        and os.path.exists(os.path.join(d, n, "_SUCCESS")))
+
+
+def clear_tombstones(index_dir: str,
+                     batches: list[str] | None = None) -> None:
     """Remove tombstone batches — called by compact_index after its commit
     (the compacted group no longer contains the deleted docs). Idempotent;
     stale tombstones only ever exclude absent docs.
 
-    ``before_ns`` is the epoch fence: only batches whose time-encoded name
-    predates the compaction's decode snapshot are cleared, so a delete
-    issued mid-compaction (which the compactor's decode never saw) survives
-    and keeps excluding its docs. None clears everything."""
+    ``batches`` is the fence: only the named batch dirs (the compactor's
+    ``list_complete_tombstone_batches`` snapshot taken BEFORE its decode)
+    are cleared, so a delete landing mid-compaction — which the decode may
+    not have seen — survives and keeps excluding its docs. None clears
+    everything."""
     d = os.path.join(index_dir, TOMBSTONE_DIR)
-    if before_ns is None:
+    if batches is None:
         shutil.rmtree(d, ignore_errors=True)
         return
-    if not os.path.isdir(d):
-        return
-    for name in os.listdir(d):
-        if not name.startswith("batch-"):
-            continue
-        try:
-            ts = int(name.split("-", 1)[1])
-        except ValueError:
-            continue  # foreign dir: keep (excluding absent docs is a no-op)
-        if ts < before_ns:
-            shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+    for name in batches:
+        shutil.rmtree(os.path.join(d, name), ignore_errors=True)
 
 
 def drop_tombstones_for(spark: SparkSession, index_dir: str,
@@ -136,7 +144,7 @@ def drop_tombstones_for(spark: SparkSession, index_dir: str,
     remaining = tdf.join(ids, "doc_id", "left_anti")
     new_dir = os.path.join(d, f"batch-{time.time_ns()}")
     remaining.write.mode("overwrite").parquet(new_dir)
+    # new_dir's time_ns name postdates the listing, so it is never in old
     for name in old:
-        if os.path.join(d, name) != new_dir:
-            shutil.rmtree(os.path.join(d, name), ignore_errors=True)
+        shutil.rmtree(os.path.join(d, name), ignore_errors=True)
     return True

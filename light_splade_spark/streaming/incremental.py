@@ -69,23 +69,29 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
     analyzer = get_analyzer(man.analyzer_version)
     dt = doc_terms(docs, id_col, text_col, analyzer=analyzer).cache()
 
-    terms_path = os.path.join(index_dir, getattr(man, "terms_dir", "terms"))
+    start_terms_rel = getattr(man, "terms_dir", "terms")
+    terms_path = os.path.join(index_dir, start_terms_rel)
     known = spark.read.parquet(terms_path).select("term", "term_id", "idf", "df")
     batch_terms = dt.groupBy("term").agg(F.count(F.lit(1)).alias("bdf"))
-    new_terms = (
-        batch_terms.join(known.select("term"), "term", "left_anti")
-        .select(
-            "term",
-            F.col("bdf").alias("df"),
-            F.lit(None).cast("bigint").alias("cf"),
-            F.xxhash64("term").alias("term_id"),
-            F.xxhash64("term").alias("tid"),
-            # frozen-N idf with batch df (documented approximation: the
-            # reference likewise freezes encoder/stats at build time)
-            F.log(1.0 + (F.lit(float(man.n_docs)) - F.col("bdf") + 0.5)
-                  / (F.col("bdf") + 0.5)).alias("idf"),
+
+    def _terms_missing_from(known_terms: DataFrame) -> DataFrame:
+        # batch terms absent from the given dim, in the dim's row shape:
+        # frozen-N idf with batch df (documented approximation: the
+        # reference likewise freezes encoder/stats at build time)
+        return (
+            batch_terms.join(known_terms.select("term"), "term", "left_anti")
+            .select(
+                "term",
+                F.col("bdf").alias("df"),
+                F.lit(None).cast("bigint").alias("cf"),
+                F.xxhash64("term").alias("term_id"),
+                F.xxhash64("term").alias("tid"),
+                F.log(1.0 + (F.lit(float(man.n_docs)) - F.col("bdf") + 0.5)
+                      / (F.col("bdf") + 0.5)).alias("idf"),
+            )
         )
-    )
+
+    new_terms = _terms_missing_from(known)
     # align to the existing terms schema before appending
     existing_cols = spark.read.parquet(terms_path).columns
     new_terms.select(*existing_cols).write.mode("append").parquet(terms_path)
@@ -126,9 +132,14 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
     (final.repartition(man.n_buckets, "bucket")
      .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))
 
-    # doc_stats append + lineage
-    from light_splade_spark.functions.analyzers import doc_tokens
-    (doc_tokens(docs, id_col, text_col, analyzer=analyzer).select("doc_id", "dl")
+    # doc_stats append + lineage — dl comes from the already-cached dt
+    # (re-running doc_tokens would tokenize the whole batch a second time,
+    # the measured hot path); zero-token docs are absent from dt, so the
+    # left join restores them with dl=0, one output row per input row
+    dls = dt.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    (docs.select(F.col(id_col).alias("doc_id"))
+     .join(dls, "doc_id", "left")
+     .select("doc_id", F.coalesce("dl", F.lit(0)).cast("int").alias("dl"))
      .write.mode("append").parquet(os.path.join(index_dir, "doc_stats")))
     written = spark.read.schema(POSTING_SCHEMA).parquet(out_dir)
     lineage = collect_partition_lineage(written, t0, analyzer.version,
@@ -148,6 +159,18 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
         if group not in man.live_groups:
             man.live_groups = [*man.live_groups, group]
             man.save(index_dir)
+    # if a compaction flipped the terms-dim pointer while this append ran,
+    # its terms_v<epoch> coalesce may predate our new-term rows (they were
+    # written to the OLD dir at the top of this function) — re-append
+    # whatever the current dim is missing. Idempotent: left-anti against
+    # the live dim; a no-op in the single-writer case.
+    cur_terms_rel = getattr(man, "terms_dir", "terms")
+    if cur_terms_rel != start_terms_rel:
+        cur_path = os.path.join(index_dir, cur_terms_rel)
+        missing = _terms_missing_from(spark.read.parquet(cur_path))
+        if missing.take(1):
+            cols = spark.read.parquet(cur_path).columns
+            missing.select(*cols).write.mode("append").parquet(cur_path)
     # drop tombstones covering re-appended ids (zombie contract — see
     # docstring); after the group is live so a crash in between leaves the
     # doc hidden only until the idempotent retry completes the drop

@@ -97,6 +97,25 @@ def test_append_batch_visible_in_queries(spark, docs, tmp_path_factory):
     assert any(p.get("append_batch") == "b1" for p in eng.lineage())
 
 
+def test_append_doc_stats_covers_zero_token_docs(spark, docs,
+                                                 tmp_path_factory):
+    """append_batch derives doc_stats from the cached term expansion (one
+    tokenization pass); docs whose text tokenizes to nothing must still
+    land in doc_stats with dl=0, exactly as the initial build records
+    them."""
+    d = str(tmp_path_factory.mktemp("dl0") / "idx")
+    Engine.build(spark, docs, d, n_shards=2, n_buckets=4, n_salts=2,
+                 n_shard_groups=1, run_size=100)
+    new = spark.createDataFrame(
+        [(910001, "real appended words"), (910002, ""), (910003, "!!! ...")],
+        "doc_id BIGINT, text STRING")
+    append_batch(spark, d, new, "b1")
+    stats = {r.doc_id: r.dl for r in
+             spark.read.parquet(f"{d}/doc_stats")
+             .where("doc_id >= 910000").collect()}
+    assert stats[910001] == 3 and stats[910002] == 0 and stats[910003] == 0
+
+
 def test_append_is_append_only_zombie_caveat(spark, docs, tmp_path_factory):
     """Reference contract (sparse_indexer.py:99-101): re-indexing an existing
     id leaves the old posting row in place — append is NOT update."""

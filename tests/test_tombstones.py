@@ -155,7 +155,12 @@ def test_append_mid_compaction_stays_live(spark, tmp_path):
 
     alldocs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     docs = alldocs.where(F.col("doc_id") < 150)
-    app = alldocs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 170))
+    # the appended batch introduces a NOVEL term: its terms-dim row lands
+    # in the OLD terms dir, which the racing compaction's coalesce may
+    # predate — append_batch must re-append it to the flipped dim
+    app = (alldocs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 170))
+           .select("doc_id", F.concat("text", F.lit(" qqmidterm"))
+                   .alias("text")))
     idx = str(tmp_path / "appr")
     Engine.build(spark, docs, idx, n_shards=2, n_buckets=4,
                  n_salts=2, n_shard_groups=1)
@@ -171,6 +176,16 @@ def test_append_mid_compaction_stays_live(spark, tmp_path):
     assert got == want
     assert os.path.isdir(os.path.join(idx, "postings",
                                       "shard_group=append-mid"))
+    # the novel term is queryable: its terms row reached the LIVE dim
+    # (terms_v1) even though the append wrote it to the old dir first
+    novel = {r.doc_id for r in
+             wand_topk(spark, idx, [(9, "qqmidterm")], top_k=0,
+                       local="never").collect()}
+    assert novel == set(range(150, 170))
+    tdir = os.path.join(idx, getattr(man, "terms_dir", "terms"))
+    terms = {r.term for r in spark.read.parquet(tdir)
+             .where("term = 'qqmidterm'").collect()}
+    assert terms == {"qqmidterm"}
 
 
 def test_empty_append_batch_is_noop(spark, tmp_path):
