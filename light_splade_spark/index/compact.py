@@ -202,19 +202,31 @@ def compact_index(spark: SparkSession, index_dir: str, gc: bool = True,
     # compaction is never silently un-applied.
     clear_tombstones(index_dir, batches=tombstone_snapshot)
     if gc:
-        gc_postings(index_dir, man)
+        gc_postings(index_dir, man, dead=decoded_set)
     return man
 
 
-def gc_postings(index_dir: str, man: IndexManifest | None = None) -> list[str]:
+def gc_postings(index_dir: str, man: IndexManifest | None = None,
+                dead: set[str] | None = None,
+                grace_sec: float = 3600.0) -> list[str]:
     """Delete posting group directories that are not live, plus stale
-    terms-dim versions the manifest no longer points at. Safe whenever:
-    readers resolve both through the manifest. Returns removed names."""
+    terms-dim versions the manifest no longer points at. Returns removed
+    names.
+
+    Removal rule: groups in ``dead`` (the compactor's decoded set — known
+    superseded) go immediately; any OTHER non-live dir is removed only
+    once its mtime is older than ``grace_sec``. The grace window protects
+    an append's group dir in the write→register gap (it exists on disk
+    before it appears in live_groups; an ungraced sweep racing that gap
+    would delete postings the append is about to commit). Crashed-append
+    orphans — never registered — are swept once they age past the grace."""
     if man is None:
         man = IndexManifest.load(index_dir)
     if man.live_groups is None:
         return []  # legacy index: everything is live
     live = set(man.live_groups)
+    dead = dead or set()
+    now = time.time()
     pdir = os.path.join(index_dir, "postings")
     removed = []
     def _rm(path: str, name: str) -> None:
@@ -222,8 +234,18 @@ def gc_postings(index_dir: str, man: IndexManifest | None = None) -> list[str]:
         if not os.path.exists(path):  # only report deletions that happened
             removed.append(name)
     for d in sorted(os.listdir(pdir)):
-        if d.startswith("shard_group=") and d.split("=", 1)[1] not in live:
-            _rm(os.path.join(pdir, d), d.split("=", 1)[1])
+        if not d.startswith("shard_group="):
+            continue
+        name = d.split("=", 1)[1]
+        if name in live:
+            continue
+        path = os.path.join(pdir, d)
+        try:
+            fresh = (now - os.path.getmtime(path)) < grace_sec
+        except OSError:
+            fresh = False
+        if name in dead or not fresh:
+            _rm(path, name)
     cur_terms = getattr(man, "terms_dir", "terms")
     for d in sorted(os.listdir(index_dir)):
         if (d == "terms" or d.startswith("terms_v")) and d != cur_terms:

@@ -43,7 +43,7 @@ from light_splade_spark.plans.bm25_sql import B, K1
 
 def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
                  batch_id: str, id_col: str = "doc_id",
-                 text_col: str = "text") -> None:
+                 text_col: str = "text", _pre_register_hook=None) -> None:
     """Append new docs to an existing complete index (immutable new group).
 
     Re-running with the same ``batch_id`` overwrites the same group dir —
@@ -145,6 +145,10 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
     lineage = collect_partition_lineage(written, t0, analyzer.version,
                                         append_batch=batch_id)
     write_lineage(index_dir, f"append-{batch_id}", lineage)
+    if _pre_register_hook is not None:
+        # test seam: the group dir is fully written but not yet registered
+        # as live — where a racing compaction's commit + GC would land
+        _pre_register_hook()
     # register the new group as live (LSM liveness, index/compact.py);
     # set-union keeps foreachBatch retries idempotent. Legacy indexes
     # (live_groups=None) stay legacy: all physical dirs remain live.

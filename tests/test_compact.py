@@ -120,9 +120,15 @@ def test_crash_after_commit_before_gc(spark, tmp_path):
     assert "compact-1" in disk and "append-a1" in disk  # orphans linger
     assert _results(spark, idx) == before
     assert _results(spark, idx, local="force") == before
-    removed = gc_postings(idx)
+    # default grace window protects FRESH non-live posting dirs (an
+    # append's write->register gap) — stale terms-dim versions still go;
+    # an explicit grace_sec=0 sweeps postings immediately
+    graced = gc_postings(idx)
+    assert all(g.startswith("terms") for g in graced)
+    assert "append-a1" in _groups_on_disk(idx)
+    removed = gc_postings(idx, grace_sec=0.0)
     assert "append-a1" in removed and _groups_on_disk(idx) == ["compact-1"]
-    assert gc_postings(idx) == []  # idempotent
+    assert gc_postings(idx, grace_sec=0.0) == []  # idempotent
     assert _results(spark, idx) == before
 
 

@@ -188,6 +188,38 @@ def test_append_mid_compaction_stays_live(spark, tmp_path):
     assert terms == {"qqmidterm"}
 
 
+def test_compact_mid_append_gc_grace_protects_group(spark, tmp_path):
+    """The inverse interleaving: a compaction commits (with GC) while an
+    append's group dir is written but not yet registered. The GC grace
+    window must keep the unregistered dir, and the append's registration
+    + terms-dim guard must leave its docs fully queryable."""
+    from light_splade_spark.index.compact import compact_index
+    from light_splade_spark.index.manifest import IndexManifest
+    from light_splade_spark.streaming.incremental import append_batch
+
+    alldocs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs = alldocs.where(F.col("doc_id") < 150)
+    app = (alldocs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 170))
+           .select("doc_id", F.concat("text", F.lit(" qqgraceterm"))
+                   .alias("text")))
+    idx = str(tmp_path / "gcr")
+    Engine.build(spark, docs, idx, n_shards=2, n_buckets=4,
+                 n_salts=2, n_shard_groups=1)
+
+    append_batch(spark, idx, app, "late",
+                 _pre_register_hook=lambda: compact_index(spark, idx))
+    man = IndexManifest.load(idx)
+    assert man.live_groups == ["compact-1", "append-late"]
+    assert os.path.isdir(os.path.join(idx, "postings",
+                                      "shard_group=append-late"))
+    # the appended docs answer queries, including via the novel term whose
+    # dim row the append re-appended after the mid-flight terms flip
+    novel = {r.doc_id for r in
+             wand_topk(spark, idx, [(9, "qqgraceterm")], top_k=0,
+                       local="never").collect()}
+    assert novel == set(range(150, 170))
+
+
 def test_empty_append_batch_is_noop(spark, tmp_path):
     """An empty micro-batch must not write a group dir, churn the manifest,
     or crash on schema inference (ADVICE r5)."""
