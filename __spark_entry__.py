@@ -516,14 +516,17 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_quality_score(spark, sf_dir):
-    """Quality scoring + token accounting in one per-doc report (F8/F9):
-    tq.quality_score's ratio features and keep flag joined with
-    tq.token_count's distinct/char counts (the two operators share the
-    doc_id key; folded into one driver row to fit the 50-row gate)."""
+    """Quality scoring + token accounting + Gopher repetition filters in
+    one per-doc report (F8/F9): tq.quality_score's ratio features and
+    keep flag joined with tq.token_count's distinct/char counts and
+    tq.repetition_metrics' duplicate-line/bigram/ellipsis fractions (all
+    three operators share the doc_id key; folded into one driver row to
+    fit the 50-row gate)."""
     docs = _docs(spark, sf_dir)
     counts = tq.token_count(docs).select("doc_id", "n_distinct",
                                          "n_chars_text")
-    return tq.quality_score(docs).join(counts, "doc_id")
+    rep = tq.repetition_metrics(docs)
+    return tq.quality_score(docs).join(counts, "doc_id").join(rep, "doc_id")
 
 
 def q_fingerprint(spark, sf_dir):
@@ -1380,13 +1383,47 @@ f AS (
                / len(toks), 4) AS stopword_ratio,
          round(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) * 1.0
                / greatest(length(text), 1), 4) AS alnum_ratio
-  FROM d)
+  FROM d),
+r AS (
+  SELECT doc_id,
+         list_sort(list_filter(list_transform(string_split(text, chr(10)),
+                                              x -> trim(x)),
+                               x -> x <> '')) AS ls,
+         list_sort(list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])) AS bs
+  FROM d),
+r2 AS (
+  SELECT doc_id, len(ls) AS nl,
+         coalesce(len(list_distinct(ls)), 0) AS ndl,
+         coalesce(list_sum(list_transform(ls, x -> length(x))), 0)
+           AS line_chars,
+         coalesce(list_sum(list_transform(
+           list_filter(range(1, len(ls) + 1), i ->
+             (i > 1 AND ls[i - 1] = ls[i])
+             OR (i < len(ls) AND ls[i + 1] = ls[i])),
+           i -> length(ls[i]))), 0) AS dup_chars,
+         len(bs) AS nb,
+         len(list_filter(range(1, len(bs) + 1), i ->
+             (i > 1 AND bs[i - 1] = bs[i])
+             OR (i < len(bs) AND bs[i + 1] = bs[i]))) AS dup_bg,
+         len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…')))
+           AS ell
+  FROM r)
 SELECT f.doc_id, f.n_tokens, ttr, mean_tok_len, stopword_ratio, alnum_ratio,
        (f.n_tokens >= 10 AND ttr >= 0.1 AND mean_tok_len >= 2
         AND mean_tok_len <= 12) AS keep,
        len(list_distinct(d.toks)) AS n_distinct,
-       length(d.text) AS n_chars_text
-FROM f JOIN d ON f.doc_id = d.doc_id
+       length(d.text) AS n_chars_text,
+       r2.nl AS n_lines,
+       round(CASE WHEN nl > 0 THEN (nl - ndl) * 1.0 / nl ELSE 0.0 END, 4)
+         AS dup_line_frac,
+       round(CASE WHEN line_chars > 0 THEN dup_chars * 1.0 / line_chars
+             ELSE 0.0 END, 4) AS dup_line_char_frac,
+       round(CASE WHEN nb > 0 THEN dup_bg * 1.0 / nb ELSE 0.0 END, 4)
+         AS dup_2gram_frac,
+       round(CASE WHEN nl > 0 THEN ell * 1.0 / nl ELSE 0.0 END, 4)
+         AS ellipsis_line_frac
+FROM f JOIN d ON f.doc_id = d.doc_id JOIN r2 ON f.doc_id = r2.doc_id
 """
 
     o["fingerprint"] = f"""

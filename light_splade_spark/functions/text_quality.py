@@ -63,6 +63,71 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021, §A1.1 —
+    public web-corpus filtering rules), per document:
+
+    - ``n_lines``: non-empty trimmed lines
+    - ``dup_line_frac``: fraction of lines that are duplicates of another
+      line (1 - distinct/total)
+    - ``dup_line_char_frac``: fraction of line characters inside lines
+      occurring >= 2 times
+    - ``dup_2gram_frac``: fraction of word-bigram occurrences belonging to
+      a bigram occurring >= 2 times (tokens = the v1 analyzer's
+      [a-z0-9]+ rule, so the DuckDB oracle can mirror exactly)
+    - ``ellipsis_line_frac``: fraction of lines ending in '...' or '…'
+
+    All ratios round(·,4); zero denominators yield 0.0. Entirely JVM-side
+    array expressions over each row — no shuffle, no Python, so the
+    operator runs map-only at any corpus size. Duplicate detection uses
+    the sorted-neighbor trick (an occurrence is duplicated iff it equals
+    a neighbor after array_sort), which is tie-free: any total order
+    groups equal elements adjacently.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+                     lambda x: x != F.lit(""))
+    ls = F.array_sort(lines)
+    nl = F.size(ls)
+    idx = F.when(nl >= 1, F.sequence(F.lit(1), nl)) \
+           .otherwise(F.array().cast("array<int>"))
+    dup_idx = F.filter(idx, lambda i: (
+        ((i > 1) & (F.element_at(ls, i - 1) == F.element_at(ls, i)))
+        | ((i < nl) & (F.element_at(ls, i + 1) == F.element_at(ls, i)))))
+    line_chars = F.aggregate(ls, F.lit(0).cast("bigint"),
+                             lambda a, x: a + F.length(x))
+    dup_chars = F.aggregate(dup_idx, F.lit(0).cast("bigint"),
+                            lambda a, i: a + F.length(F.element_at(ls, i)))
+    toks = tokens_col(text_col)
+    nt = F.size(toks)
+    bg = F.when(nt >= 2, F.zip_with(
+        F.slice(toks, 1, nt - 1), F.slice(toks, 2, nt - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))) \
+          .otherwise(F.array().cast("array<string>"))
+    bs = F.array_sort(bg)
+    nb = F.size(bs)
+    bidx = F.when(nb >= 1, F.sequence(F.lit(1), nb)) \
+            .otherwise(F.array().cast("array<int>"))
+    dup_bg = F.size(F.filter(bidx, lambda i: (
+        ((i > 1) & (F.element_at(bs, i - 1) == F.element_at(bs, i)))
+        | ((i < nb) & (F.element_at(bs, i + 1) == F.element_at(bs, i))))))
+    ell = F.size(F.filter(lines, lambda x: x.endswith("...")
+                          | x.endswith("…")))
+
+    def _frac(num, den):
+        return F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 4)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        nl.alias("n_lines"),
+        _frac(nl - F.size(F.array_distinct(ls)), nl).alias("dup_line_frac"),
+        _frac(dup_chars, line_chars).alias("dup_line_char_frac"),
+        _frac(dup_bg, nb).alias("dup_2gram_frac"),
+        _frac(ell, nl).alias("ellipsis_line_frac"),
+    )
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(doc_id, pred_lang, pred_hits) — argmax over marker-token hit counts,

@@ -97,13 +97,20 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
     new_terms.select(*existing_cols).write.mode("append").parquet(terms_path)
 
     terms_b = F.broadcast(
-        spark.read.parquet(terms_path).select("term", "term_id", "idf", "df"))
+        spark.read.parquet(terms_path).select("term", "term_id", "idf"))
+    # run sizing must use the BATCH's df, not the dim's corpus df: a run
+    # holds only this batch's postings, so salting a 1k-doc append by a
+    # head term's corpus df (ceil(500k/run_size) ways) would shatter tiny
+    # runs for nothing. The initial build's df IS its batch df (batch =
+    # corpus), so this is the same rule at every lifecycle stage.
     n_salts_t = F.least(
         F.lit(man.n_salts),
-        F.ceil(F.col("df") / F.lit(float(man.run_size))).cast("int"))
-    max_doc_b = docs.agg(F.max(id_col)).collect()[0][0]
+        F.ceil(F.col("bdf") / F.lit(float(man.run_size))).cast("int"))
+    max_doc_b, batch_n = docs.agg(
+        F.max(id_col), F.count(F.lit(1))).collect()[0]
     posts = (
         dt.join(terms_b, "term")
+        .join(F.broadcast(batch_terms), "term")
         .select(
             F.pmod(F.xxhash64("doc_id"), F.lit(man.n_shards)).cast("int").alias("shard"),
             F.pmod(F.col("term_id"), F.lit(man.n_buckets)).cast("int").alias("bucket"),
@@ -124,10 +131,24 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
         return _encode_groups(pdf, block_size=man.block_size,
                               weight_bits=man.weight_bits)
 
-    runs = posts.groupBy("shard", "bucket", "salt").applyInPandas(
-        encode_kernel, RUN_SCHEMA)
-    final = runs.groupBy("shard", "bucket").applyInPandas(
-        _merge_groups, POSTING_SCHEMA)
+    if int(batch_n) <= man.run_size:
+        # every term's batch df <= run_size -> n_salts_t = 1 for all
+        # terms, so the salt groupBy would be a no-op partitioning and
+        # phase-2 would merge single-run terms. Fuse both kernels into
+        # ONE shuffle: encode the (shard,bucket) slice, then run the
+        # merge on its output in-process (identity for single runs, so
+        # output bytes are identical to the staged path — asserted in
+        # test_compact). Micro-batch appends pay 1 shuffle, not 2.
+        def fused_kernel(pdf):
+            return _merge_groups(encode_kernel(pdf))
+
+        final = posts.groupBy("shard", "bucket").applyInPandas(
+            fused_kernel, POSTING_SCHEMA)
+    else:
+        runs = posts.groupBy("shard", "bucket", "salt").applyInPandas(
+            encode_kernel, RUN_SCHEMA)
+        final = runs.groupBy("shard", "bucket").applyInPandas(
+            _merge_groups, POSTING_SCHEMA)
     out_dir = os.path.join(index_dir, "postings", f"shard_group=append-{batch_id}")
     (final.repartition(man.n_buckets, "bucket")
      .write.mode("overwrite").partitionBy("bucket").parquet(out_dir))

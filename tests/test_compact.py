@@ -132,6 +132,45 @@ def test_crash_after_commit_before_gc(spark, tmp_path):
     assert _results(spark, idx) == before
 
 
+def test_append_fused_path_byte_identical_to_staged(spark, tmp_path):
+    """Micro-batch appends (batch_n <= run_size) take a fused single-shuffle
+    encode+merge kernel; batches above run_size take the staged two-phase
+    salted path. Same batch through both must produce byte-identical
+    posting rows (blobs, block metadata, df, max_w)."""
+    import shutil
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .where(F.col("doc_id") < 200)
+    idx_f = str(tmp_path / "fused")
+    build_index(spark, docs, idx_f, n_shards=2, n_buckets=4, n_salts=4,
+                n_shard_groups=1)
+    idx_s = str(tmp_path / "staged")
+    shutil.copytree(idx_f, idx_s)
+    # force the staged path on the copy: run_size=1 makes any batch "big"
+    # and salts every term ceil(bdf/1)-ways (capped at n_salts=4)
+    man = IndexManifest.load(idx_s)
+    man.run_size = 1
+    man.save(idx_s)
+
+    app = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .where((F.col("doc_id") >= 200) & (F.col("doc_id") < 240))
+    append_batch(spark, idx_f, app, "ab")
+    append_batch(spark, idx_s, app, "ab")
+
+    def _rows(idx):
+        df = spark.read.parquet(
+            os.path.join(idx, "postings", "shard_group=append-ab"))
+        return sorted(
+            (r.shard, r.bucket, r.term_id, r.df, r.max_w,
+             bytes(r.postings), tuple(r.bm_last), tuple(r.bm_max))
+            for r in df.collect())
+
+    rf, rs = _rows(idx_f), _rows(idx_s)
+    assert rf == rs and len(rf) > 0
+    # and the two indexes answer identically end-to-end
+    assert _results(spark, idx_f) == _results(spark, idx_s)
+
+
 def test_compact_quantized_rank_stable(spark, tmp_path):
     """weight_bits=8 re-quantizes against merged-block maxima: doc ranking
     must be preserved and scores must stay within the 1/255 block-relative

@@ -121,6 +121,37 @@ def test_quality_score_golden(spark):
     assert tq.quality_score(short).collect()[0]["keep"] is False
 
 
+def test_repetition_metrics_golden(spark):
+    """Hand-computed Gopher repetition filters on a crafted doc."""
+    text = ("Hello world...\nHello world...\nunique line\n\n  \n"
+            "foo bar foo bar foo\n…")
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "!!!")],
+                               "doc_id BIGINT, text STRING")
+    rows = {r["doc_id"]: r for r in tq.repetition_metrics(df).collect()}
+    r = rows[1]
+    # lines: [Hello world..., Hello world..., unique line,
+    #         foo bar foo bar foo, …] -> 5 lines, 4 distinct
+    assert r["n_lines"] == 5
+    assert r["dup_line_frac"] == 0.2
+    # duplicated line chars 2*14=28 of 14+14+11+19+1=59
+    assert r["dup_line_char_frac"] == round(28 / 59, 4)
+    # 11 tokens -> 10 bigrams; hello-world x2, foo-bar x2, bar-foo x2 -> 6/10
+    assert r["dup_2gram_frac"] == 0.6
+    # two '...' lines + the lone ellipsis char line -> 3/5
+    assert r["ellipsis_line_frac"] == 0.6
+    # degenerate docs: all-zero, no division errors
+    for d in (2, 3):
+        assert rows[d]["dup_line_frac"] == 0.0
+        assert rows[d]["dup_line_char_frac"] == 0.0
+        assert rows[d]["dup_2gram_frac"] == 0.0
+        assert rows[d]["ellipsis_line_frac"] == 0.0
+    assert rows[2]["n_lines"] == 0 and rows[3]["n_lines"] == 1
+    # map-only at any scale: no shuffle, no Python in the plan
+    plan = tq.repetition_metrics(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
 def test_token_count(spark):
     df = spark.createDataFrame([(1, "a b a-c! d")], "doc_id BIGINT, text STRING")
     r = tq.token_count(df).collect()[0]
