@@ -26,6 +26,19 @@ QUERIES = DOCUMENTS_QUERY_SET
 TOP_K = 10
 QREL_MOD = 29  # deterministic qrels rule: positive iff doc_id % 29 == qid
 
+# Phrase workload for the retrieve-then-verify route (index/phrase.py).
+# pids offset past the OR-route qids so the folded Q:index_join_topk rows
+# stay disjoint. Mix of 2/3-token phrases plus a repeated-token phrase
+# ("window window": conjunctive candidates = every 'window' doc, verify
+# must demand two ADJACENT occurrences).
+PHRASES = [
+    (100, "table scan"),
+    (101, "hash join"),
+    (102, "window window"),
+    (103, "scan merge part"),
+    (104, "data line join"),
+]
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -377,12 +390,23 @@ def q_index_join_topk(spark, sf_dir):
     """Corpus-scale query route (J2 at >10^5 queries): decode the compressed
     index back to (term_id, doc_id, w) rows and score via a shuffle join +
     hash agg (index/join_scorer.py) — rank-identical to WAND on the same
-    index (tests/test_join_scorer.py); oracle = float32-impact BM25 SQL."""
+    index (tests/test_join_scorer.py); oracle = float32-impact BM25 SQL.
+
+    Folded in (50-row gate): route='phrase' rows from the SAME index via
+    index/phrase.phrase_topk — conjunctive candidates from the join route,
+    token-adjacency verified on candidates only; oracle = phrase_oracle_sql.
+    """
     from light_splade_spark.index.join_scorer import score_index_join
+    from light_splade_spark.index.phrase import phrase_topk
 
     idx = _cached_index(spark, sf_dir)
     qdf = spark.createDataFrame(QUERIES, "qid BIGINT, text STRING")
-    return score_index_join(spark, idx, qdf, top_k=TOP_K)
+    orr = (score_index_join(spark, idx, qdf, top_k=TOP_K)
+           .withColumn("route", F.lit("or")))
+    ph = (phrase_topk(spark, idx, _docs(spark, sf_dir), PHRASES, top_k=TOP_K)
+          .withColumnRenamed("pid", "qid")
+          .withColumn("route", F.lit("phrase")))
+    return orr.unionByName(ph)
 
 
 def q_term_stats(spark, sf_dir):
@@ -516,17 +540,22 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_quality_score(spark, sf_dir):
-    """Quality scoring + token accounting + Gopher repetition filters in
-    one per-doc report (F8/F9): tq.quality_score's ratio features and
-    keep flag joined with tq.token_count's distinct/char counts and
-    tq.repetition_metrics' duplicate-line/bigram/ellipsis fractions (all
-    three operators share the doc_id key; folded into one driver row to
-    fit the 50-row gate)."""
+    """Quality scoring + token accounting + the full Gopher filter suite
+    in one per-doc report (F8/F9): tq.quality_score's ratio features and
+    keep flag joined with tq.token_count's distinct/char counts,
+    tq.repetition_metrics' duplicate-line/bigram/ellipsis fractions, and
+    tq.gopher_metrics' alpha/bullet/symbol/stop-word/top-3-gram/dup-5-gram
+    columns plus the composite tq.gopher_keep_col flag (all four operators
+    share the doc_id key; folded into one driver row to fit the 50-row
+    gate)."""
     docs = _docs(spark, sf_dir)
     counts = tq.token_count(docs).select("doc_id", "n_distinct",
                                          "n_chars_text")
     rep = tq.repetition_metrics(docs)
-    return tq.quality_score(docs).join(counts, "doc_id").join(rep, "doc_id")
+    gop = tq.gopher_metrics(docs)
+    joined = (tq.quality_score(docs).join(counts, "doc_id")
+              .join(rep, "doc_id").join(gop, "doc_id"))
+    return joined.withColumn("gopher_keep", tq.gopher_keep_col())
 
 
 def q_fingerprint(spark, sf_dir):
@@ -1107,8 +1136,15 @@ GROUP BY 1, event_type
             f"doc_id >= {COMPACT_HI} AND doc_id < {COMPACT_HI2}",
         ])
     # the join-over-decoded-index route scores the same float32 impacts
-    o["index_join_topk"] = bm25_sql.bm25_oracle_sql(QUERIES, top_k=TOP_K,
-                                                    float32_impacts=True)
+    o["index_join_topk"] = f"""
+SELECT qid, rank, doc_id, score, 'or' AS route FROM (
+{bm25_sql.bm25_oracle_sql(QUERIES, top_k=TOP_K, float32_impacts=True)}
+)
+UNION ALL
+SELECT qid, rank, doc_id, score, 'phrase' AS route FROM (
+{bm25_sql.phrase_oracle_sql(PHRASES, top_k=TOP_K)}
+)
+"""
 
     o["dot_topk"] = f"""
 WITH {_TOK_CTE},
@@ -1407,8 +1443,42 @@ r2 AS (
              (i > 1 AND bs[i - 1] = bs[i])
              OR (i < len(bs) AND bs[i + 1] = bs[i]))) AS dup_bg,
          len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…')))
-           AS ell
-  FROM r)
+           AS ell,
+         len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*')
+             OR starts_with(x, '•') OR starts_with(x, '·'))) AS bullets
+  FROM r),
+g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+       FROM d),
+g3c AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+g3m AS (SELECT doc_id, c * (length(g) - 2) AS top3_chars FROM (
+  SELECT doc_id, g, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+  FROM g3c) WHERE rn = 1),
+g5 AS (SELECT doc_id,
+         list_sort(list_transform(range(1, len(toks) - 3),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' '
+                || toks[i + 3] || ' ' || toks[i + 4])) AS gs
+       FROM d),
+gm AS (
+  SELECT d.doc_id,
+         coalesce(list_sum(list_transform(d.toks, x -> length(x))), 0)
+           AS tchars,
+         len(d.toks) AS nt,
+         len(list_filter(d.toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_w,
+         len(list_filter(list_distinct(d.toks), x -> list_contains(
+           ['the','be','to','of','and','that','have','with'], x)))
+           AS stop_hits,
+         (length(d.text) - length(replace(d.text, '#', '')))
+           + len(regexp_extract_all(d.text, '\\.\\.\\.'))
+           + (length(d.text) - length(replace(d.text, '…', ''))) AS symbols,
+         coalesce(list_sum(list_transform(
+           list_filter(range(1, len(g5.gs) + 1), i ->
+             (i > 1 AND g5.gs[i - 1] = g5.gs[i])
+             OR (i < len(g5.gs) AND g5.gs[i + 1] = g5.gs[i])),
+           i -> length(g5.gs[i]) - 4)), 0) AS dup5_chars
+  FROM d JOIN g5 ON d.doc_id = g5.doc_id),
+base AS (
 SELECT f.doc_id, f.n_tokens, ttr, mean_tok_len, stopword_ratio, alnum_ratio,
        (f.n_tokens >= 10 AND ttr >= 0.1 AND mean_tok_len >= 2
         AND mean_tok_len <= 12) AS keep,
@@ -1422,8 +1492,32 @@ SELECT f.doc_id, f.n_tokens, ttr, mean_tok_len, stopword_ratio, alnum_ratio,
        round(CASE WHEN nb > 0 THEN dup_bg * 1.0 / nb ELSE 0.0 END, 4)
          AS dup_2gram_frac,
        round(CASE WHEN nl > 0 THEN ell * 1.0 / nl ELSE 0.0 END, 4)
-         AS ellipsis_line_frac
-FROM f JOIN d ON f.doc_id = d.doc_id JOIN r2 ON f.doc_id = r2.doc_id
+         AS ellipsis_line_frac,
+       round(CASE WHEN nl > 0 THEN bullets * 1.0 / nl ELSE 0.0 END, 4)
+         AS bullet_line_frac
+FROM f JOIN d ON f.doc_id = d.doc_id JOIN r2 ON f.doc_id = r2.doc_id),
+gq AS (
+SELECT base.*,
+       round(CASE WHEN gm.nt > 0 THEN alpha_w * 1.0 / gm.nt ELSE 0.0 END, 4)
+         AS alpha_word_frac,
+       round(CASE WHEN gm.nt > 0 THEN symbols * 1.0 / gm.nt ELSE 0.0 END, 4)
+         AS symbol_word_ratio,
+       gm.stop_hits,
+       round(CASE WHEN tchars > 0 THEN coalesce(g3m.top3_chars, 0) * 1.0
+             / tchars ELSE 0.0 END, 4) AS top_3gram_char_frac,
+       round(CASE WHEN tchars > 0 THEN dup5_chars * 1.0 / tchars
+             ELSE 0.0 END, 4) AS dup_5gram_char_frac
+FROM base JOIN gm ON base.doc_id = gm.doc_id
+LEFT JOIN g3m ON base.doc_id = g3m.doc_id)
+SELECT *,
+       (n_tokens >= 50 AND n_tokens <= 100000
+        AND mean_tok_len >= 3 AND mean_tok_len <= 10
+        AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        AND stop_hits >= 2 AND dup_line_frac <= 0.3
+        AND dup_line_char_frac <= 0.2 AND top_3gram_char_frac <= 0.18
+        AND dup_5gram_char_frac <= 0.15) AS gopher_keep
+FROM gq
 """
 
     o["fingerprint"] = f"""

@@ -128,6 +128,139 @@ def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# Gopher A1.1 stop-word presence rule: a kept page must contain >= 2 of
+# these 8 words (Rae et al. 2021 — a public web-corpus filtering rule).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_metrics(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """The rest of the Gopher quality-filter suite (Rae et al. 2021 §A1.1),
+    complementing ``repetition_metrics``/``quality_score``, per document:
+
+    - ``alpha_word_frac``: fraction of tokens containing an alphabetic char
+    - ``bullet_line_frac``: fraction of non-empty lines starting with a
+      bullet marker ('-', '*', '•', '·')
+    - ``symbol_word_ratio``: ('#' chars + '...' runs + '…' chars) / tokens
+    - ``stop_hits``: how many of the 8 Gopher stop words appear
+    - ``top_3gram_char_frac``: chars covered by ALL occurrences of the most
+      frequent word-3-gram / total token chars (count x token-chars of the
+      3-gram; ties broken to the lexicographically smallest 3-gram)
+    - ``dup_5gram_char_frac``: chars of every 5-gram occurrence whose
+      5-gram occurs >= 2 times / total token chars (occurrence-weighted:
+      overlapping occurrences each count their own chars — documented
+      divergence from the paper's span-union accounting, which is not
+      expressible without positional dedup; the filter direction and
+      monotonicity are preserved)
+
+    Ratios round(·,4), zero denominators -> 0.0. Pure JVM array
+    expressions (higher-order functions) — map-only at any corpus size.
+    The 3-gram mode uses a single fold over the sorted 3-gram array
+    (run-length scan; strict > keeps the FIRST maximal run, i.e. the
+    lexicographically smallest mode — the oracle mirrors with ORDER BY
+    count DESC, gram ASC LIMIT 1). The composite keep flag lives in
+    ``gopher_keep_col`` so it can be applied to the JOINED metric row
+    (it also needs repetition_metrics/quality_score columns).
+    """
+    t = F.col(text_col)
+    toks = tokens_col(text_col)
+    nt = F.size(toks)
+    token_chars = F.aggregate(toks, F.lit(0).cast("bigint"),
+                              lambda a, x: a + F.length(x))
+
+    def _el(i):
+        return F.element_at(toks, i)
+
+    def _grams(n):
+        return F.when(nt >= n, F.transform(
+            F.sequence(F.lit(1), nt - (n - 1)),
+            lambda i: F.concat_ws(" ", *[_el(i + j) for j in range(n)]))) \
+                .otherwise(F.array().cast("array<string>"))
+
+    g3s = F.array_sort(_grams(3))
+    mode3 = F.aggregate(
+        g3s,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best_run"), F.lit("").alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+             .alias("run"),
+            F.when(F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1)) > acc["best_run"],
+                   F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)))
+             .otherwise(acc["best_run"]).alias("best_run"),
+            F.when(F.when(x == acc["prev"], acc["run"] + 1)
+                    .otherwise(F.lit(1)) > acc["best_run"], x)
+             .otherwise(acc["best"]).alias("best")),
+        # 3-gram token chars = length minus the two joining spaces
+        lambda acc: acc["best_run"]
+        * F.greatest(F.length(acc["best"]) - 2, F.lit(0)))
+
+    g5s = F.array_sort(_grams(5))
+    n5 = F.size(g5s)
+    i5 = F.when(n5 >= 1, F.sequence(F.lit(1), n5)) \
+          .otherwise(F.array().cast("array<int>"))
+    dup5_chars = F.aggregate(
+        F.filter(i5, lambda i: (
+            ((i > 1) & (F.element_at(g5s, i - 1) == F.element_at(g5s, i)))
+            | ((i < n5) & (F.element_at(g5s, i + 1) == F.element_at(g5s, i))))),
+        F.lit(0).cast("bigint"),
+        lambda a, i: a + F.length(F.element_at(g5s, i)) - 4)
+
+    lines = F.filter(F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+                     lambda x: x != F.lit(""))
+    nl = F.size(lines)
+    bullets = F.size(F.filter(lines, lambda x: (
+        x.startswith("-") | x.startswith("*")
+        | x.startswith("•") | x.startswith("·"))))
+    symbols = (
+        F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+        + F.regexp_count(t, F.lit(r"\.\.\."))
+        + F.length(t) - F.length(F.regexp_replace(t, "…", "")))
+    stop_hits = F.size(F.filter(F.array_distinct(toks),
+                                lambda x: x.isin(GOPHER_STOPWORDS)))
+
+    def _frac(num, den):
+        return F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 4)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        _frac(F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))), nt)
+        .alias("alpha_word_frac"),
+        _frac(bullets, nl).alias("bullet_line_frac"),
+        _frac(symbols, nt).alias("symbol_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        _frac(mode3, token_chars).alias("top_3gram_char_frac"),
+        _frac(dup5_chars, token_chars).alias("dup_5gram_char_frac"),
+    )
+
+
+def gopher_keep_col():
+    """Composite Gopher keep flag (Rae et al. 2021 §A1.1 thresholds) as a
+    Column over the JOINED per-doc metric row (quality_score +
+    repetition_metrics + gopher_metrics all share the doc_id key):
+    50 <= words <= 100k, 3 <= mean word length <= 10, symbol-to-word
+    <= 0.1, <= 90% bullet lines, <= 30% ellipsis lines, >= 80% alphabetic
+    words, >= 2 stop words, dup-line <= 0.30, dup-line-chars <= 0.20,
+    top-3-gram chars <= 0.18, dup-5-gram chars <= 0.15. Pure column
+    arithmetic, so the DuckDB oracle states the identical predicate."""
+    c = F.col
+    return (
+        (c("n_tokens") >= 50) & (c("n_tokens") <= 100_000)
+        & (c("mean_tok_len") >= 3) & (c("mean_tok_len") <= 10)
+        & (c("symbol_word_ratio") <= 0.1)
+        & (c("bullet_line_frac") <= 0.9)
+        & (c("ellipsis_line_frac") <= 0.3)
+        & (c("alpha_word_frac") >= 0.8)
+        & (c("stop_hits") >= 2)
+        & (c("dup_line_frac") <= 0.3)
+        & (c("dup_line_char_frac") <= 0.2)
+        & (c("top_3gram_char_frac") <= 0.18)
+        & (c("dup_5gram_char_frac") <= 0.15)
+    ).alias("gopher_keep")
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(doc_id, pred_lang, pred_hits) — argmax over marker-token hit counts,

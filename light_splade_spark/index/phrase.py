@@ -1,0 +1,131 @@
+"""Phrase retrieval over the compressed index — retrieve-then-verify.
+
+Exact phrase search ("terms adjacent, in order") is the classic fulltext
+feature the posting layout alone cannot answer: the index stores per-term
+impact postings (index/build.py), not positions. Rather than inflating
+every posting with positions (2-4x index bytes, paid by every non-phrase
+query), this module uses the standard two-stage serving shape:
+
+1. RETRIEVE — conjunctive candidate generation from the index via the
+   join route (index/join_scorer.decode_postings restricted to the
+   phrase's terms): only documents containing ALL distinct phrase terms
+   survive, already carrying their BM25 score (sum qtf * w over the
+   stored float32 impacts — identical semantics to score_index_join).
+2. VERIFY — token-adjacency checked ONLY on the candidates: the docs
+   DataFrame is semi-joined down to the candidate ids FIRST, then the
+   survivors (a tiny fraction of the corpus — the conjunction of several
+   terms) are re-tokenized with the index's pinned analyzer and kept iff
+   the phrase token array occurs as a contiguous subsequence. The
+   adjacency predicate is a pure JVM higher-order function
+   (exists/sequence/slice), no Python.
+
+At 100 TB this is the right plan: stage 1 touches only the phrase terms'
+posting bytes (parquet bucket pruning + min/max pushdown); stage 2 scans
+text for candidate doc_ids only, pushed into the parquet scan as a
+broadcast semi-join when the candidate set is small (phrase conjunctions
+almost always are; a phrase of ONE term degenerates to term retrieval
+with verify = membership, still correct).
+
+Reference parity: the reference engine has no phrase search (its sparse
+retriever scores bags of terms, sparse_retriever.py); this is a
+beyond-reference capability of the fulltext_index tier. Scores for the
+verified docs are byte-identical to the OR-route join scorer on the same
+phrase terms (same rounding, same tie-break) — asserted in
+tests/test_phrase.py and oracle-checked in Q:index_join_topk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from light_splade_spark.functions.analyzers import resolve_analyzer
+from light_splade_spark.index.build import read_terms
+from light_splade_spark.index.join_scorer import decode_postings
+from light_splade_spark.index.manifest import IndexManifest
+from light_splade_spark.plans.bm25_sql import SCORE_DECIMALS, query_term_rows
+
+
+def phrase_topk(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    phrases: list[tuple[int, str]],
+    top_k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (pid, rank, doc_id, score): BM25 top-k among documents containing
+    each phrase as an exact token-adjacent run.
+
+    ``phrases``: literal (pid, text) pairs (a phrase workload is
+    interactive-sized; a DataFrame-sized phrase workload would compose the
+    same stages with query_terms_df). ``docs`` must be the corpus the index
+    was built over — it supplies the text for the verify stage only; no
+    score is computed from it.
+
+    A phrase with a term absent from the index matches nothing (correct:
+    no document can contain it). Multiplicity counts: "window window"
+    scores 'window' with qtf=2 and verifies two adjacent occurrences.
+    """
+    man = IndexManifest.load(index_dir)
+    ana = resolve_analyzer(man.analyzer_version, index_dir)
+
+    # driver-side tokenization shared with the oracle generator, so both
+    # sides see identical phrase terms by construction
+    qt_rows = query_term_rows(phrases, ana)
+    ptok_rows = [(pid, ana.py_tokenize(text)) for pid, text in phrases]
+    if not qt_rows:
+        return spark.createDataFrame(
+            [], "pid BIGINT, rank INT, doc_id BIGINT, score DOUBLE")
+    qt = spark.createDataFrame(qt_rows, "pid BIGINT, term STRING, qtf BIGINT")
+    ptoks = spark.createDataFrame(ptok_rows, "pid BIGINT, ptoks ARRAY<STRING>")
+    # distinct-term count per phrase BEFORE the terms-dim join: if a term is
+    # missing from the index, n_terms is unreachable and the phrase yields
+    # zero candidates (rather than silently matching the remaining terms)
+    n_terms = qt.groupBy("pid").agg(F.count(F.lit(1)).alias("n_terms"))
+
+    terms = read_terms(spark, index_dir).select("term", "term_id")
+    qterm = qt.join(terms, "term").select("pid", "term_id", "qtf")
+
+    decoded = decode_postings(spark, index_dir, term_ids=qterm)
+    cand = (
+        qterm.join(decoded, "term_id")
+        .groupBy("pid", "doc_id")
+        .agg(
+            F.round(F.sum(F.col("qtf") * F.col("w").cast("double")),
+                    SCORE_DECIMALS).alias("score"),
+            F.count(F.lit(1)).alias("nm"),
+        )
+        .join(F.broadcast(n_terms), "pid")
+        .where(F.col("nm") == F.col("n_terms"))
+        .select("pid", "doc_id", "score")
+    )
+
+    # VERIFY: shrink the corpus scan to candidate ids first (broadcast
+    # semi-join reaches the parquet scan via DPP/runtime filtering), then
+    # tokenize only the survivors and test contiguous-subsequence with a
+    # JVM higher-order function. size guard keeps sequence() well-formed
+    # for docs shorter than the phrase.
+    cand_ids = cand.select("doc_id").distinct()
+    dtoks = (
+        docs.join(F.broadcast(cand_ids),
+                  docs[id_col] == cand_ids["doc_id"], "left_semi")
+        .select(F.col(id_col).alias("doc_id"),
+                ana.spark_tokens(text_col).alias("toks"))
+    )
+    verified = (
+        cand.join(dtoks, "doc_id")
+        .join(F.broadcast(ptoks), "pid")
+        .where(
+            (F.size("toks") >= F.size("ptoks"))
+            & F.expr("exists(sequence(1, size(toks) - size(ptoks) + 1), "
+                     "i -> slice(toks, i, size(ptoks)) == ptoks)")
+        )
+    )
+
+    w = Window.partitionBy("pid").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = verified.withColumn("rank", F.row_number().over(w))
+    if top_k and top_k > 0:
+        ranked = ranked.where(F.col("rank") <= top_k)
+    return ranked.select("pid", "rank", "doc_id", "score")

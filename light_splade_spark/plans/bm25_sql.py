@@ -302,3 +302,77 @@ ranked AS (
 SELECT qid, rank, doc_id, score FROM ranked {limit_pred}
 ORDER BY qid, rank
 """
+
+
+def phrase_oracle_sql(phrases: list[tuple[int, str]], top_k: int = 10,
+                      table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text",
+                      analyzer: Analyzer = ANALYZER_V1) -> str:
+    """Oracle for ``index/phrase.phrase_topk``: BM25 top-k (float32 impacts,
+    mirroring the index blobs exactly as ``bm25_oracle_sql``'s
+    float32_impacts=True arm) restricted to documents containing the phrase
+    as a contiguous token run.
+
+    Adjacency is a per-phrase generated predicate over the tokenized doc:
+    position i matches iff toks[i+j] equals the phrase's j-th token for all
+    j — the same contiguous-subsequence rule the Spark side evaluates with
+    exists/sequence/slice. Phrase tokens come from the SAME driver-side
+    tokenization (``query_term_rows`` / ``analyzer.py_tokenize``), so both
+    sides agree by construction."""
+    qt = query_term_rows(phrases, analyzer)
+    values = ", ".join(f"({qid}, '{term}', {qtf})" for qid, term, qtf in qt)
+    limit_pred = f"WHERE rank <= {top_k}" if top_k and top_k > 0 else ""
+    adj_selects = []
+    for pid, text in phrases:
+        p = analyzer.py_tokenize(text)
+        if not p:
+            continue
+        pred = " AND ".join(
+            f"toks[i + {j}] = '{tok}'" for j, tok in enumerate(p))
+        adj_selects.append(
+            f"SELECT {pid} AS qid, doc_id FROM toka\n"
+            f"  WHERE len(list_filter(range(1, len(toks) - {len(p)} + 2),"
+            f" i -> {pred})) > 0")
+    adj = "\n  UNION ALL\n  ".join(adj_selects)
+    return f"""
+WITH toka AS (
+  SELECT {id_col} AS doc_id, {analyzer.duckdb_tokens(text_col)} AS toks
+  FROM {table}
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM toka),
+dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM {table}) AS n,
+                 (SELECT CAST(coalesce(sum(dl), 0) AS DOUBLE) FROM dl)
+                   / (SELECT count(*) FROM {table}) AS avgdl),
+tdf AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+qt(qid, term, qtf) AS (VALUES {values}),
+adj AS (
+  {adj}
+),
+scored AS (
+  SELECT qt.qid, dt.doc_id,
+         round(sum(
+           qt.qtf * CAST(CAST(
+             ln(1.0 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
+               * (dt.tf * ({K1} + 1.0))
+               / (dt.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
+           AS FLOAT) AS DOUBLE)
+         ), {SCORE_DECIMALS}) AS score
+  FROM qt
+  JOIN dt  ON qt.term = dt.term
+  JOIN tdf ON qt.term = tdf.term
+  JOIN dl  ON dt.doc_id = dl.doc_id
+  JOIN adj ON qt.qid = adj.qid AND dt.doc_id = adj.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.qid, dt.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score FROM ranked {limit_pred}
+ORDER BY qid, rank
+"""

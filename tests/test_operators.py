@@ -152,6 +152,68 @@ def test_repetition_metrics_golden(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+def test_gopher_metrics_golden(spark):
+    """Hand-computed Gopher suite metrics on crafted docs."""
+    t1 = "the cat and the cat and the cat sat"
+    t3 = "a1 22 33"
+    t4 = "- item one\n* item two\nplain\n# x ... y …"
+    df = spark.createDataFrame(
+        [(1, t1), (2, ""), (3, t3), (4, t4)], "doc_id BIGINT, text STRING")
+    rows = {r["doc_id"]: r for r in tq.gopher_metrics(df).collect()}
+
+    r = rows[1]
+    # 3-grams: and-the-cat x2 (lexicographically-smallest mode among the
+    # three count-2 grams), token chars = 9 tokens x 3 = 27
+    assert r["top_3gram_char_frac"] == round(2 * (11 - 2) / 27, 4)
+    # 5-grams: 'the cat and the cat' x2 -> 2 x (19-4) = 30 chars of 27
+    # (occurrence-weighted overlap counting; > 1.0 is legal and documented)
+    assert r["dup_5gram_char_frac"] == round(30 / 27, 4)
+    assert r["alpha_word_frac"] == 1.0
+    assert r["stop_hits"] == 2  # the, and
+    assert r["bullet_line_frac"] == 0.0
+    assert r["symbol_word_ratio"] == 0.0
+
+    # empty doc: all zeros, no division errors
+    assert all(rows[2][c] == 0.0 for c in
+               ("alpha_word_frac", "bullet_line_frac", "symbol_word_ratio",
+                "top_3gram_char_frac", "dup_5gram_char_frac"))
+    assert rows[2]["stop_hits"] == 0
+
+    r = rows[3]
+    assert r["alpha_word_frac"] == round(1 / 3, 4)
+    # exactly one 3-gram 'a1 22 33': 1 x (8-2) = 6 of 6 token chars
+    assert r["top_3gram_char_frac"] == 1.0
+    assert r["dup_5gram_char_frac"] == 0.0  # fewer than 5 tokens
+
+    r = rows[4]
+    assert r["bullet_line_frac"] == 0.5  # '-' and '*' of 4 lines
+    # '#' + '...' + '…' = 3 symbols over 7 tokens
+    assert r["symbol_word_ratio"] == round(3 / 7, 4)
+
+    # map-only at any scale
+    plan = tq.gopher_metrics(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_gopher_keep_col(spark):
+    """Composite flag over the joined metric row: a clean 60-word doc with
+    stop words passes; the same doc with heavy 5-gram repetition fails."""
+    vocab = [f"word{i:02d}" for i in range(58)] + ["the", "and"]
+    passing = " ".join(vocab)
+    failing = " ".join(["the", "and"] + ["spam"] * 58)
+    df = spark.createDataFrame([(1, passing), (2, failing)],
+                               "doc_id BIGINT, text STRING")
+    joined = (tq.quality_score(df).join(
+        tq.token_count(df).select("doc_id", "n_distinct", "n_chars_text"),
+        "doc_id").join(tq.repetition_metrics(df), "doc_id")
+        .join(tq.gopher_metrics(df), "doc_id")
+        .withColumn("gopher_keep", tq.gopher_keep_col()))
+    rows = {r["doc_id"]: r for r in joined.collect()}
+    assert rows[1]["gopher_keep"] is True
+    assert rows[2]["gopher_keep"] is False  # dup-5-gram repetition
+
+
 def test_token_count(spark):
     df = spark.createDataFrame([(1, "a b a-c! d")], "doc_id BIGINT, text STRING")
     r = tq.token_count(df).collect()[0]
