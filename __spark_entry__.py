@@ -1010,16 +1010,25 @@ def q_events_tumbling(spark, sf_dir):
 
 
 def q_pipeline_attrition(spark, sf_dir):
-    """Cleaning-pipeline attrition report: input -> quality-pass ->
-    exact-dedup survivors, as one auditable row."""
+    """Cleaning-pipeline attrition report: input -> corpus-level
+    boilerplate-line removal (C4/CCNet-style line_dedup: a line in >1
+    distinct docs is removed everywhere) -> quality-pass on the CLEANED
+    text -> exact-dedup survivors, as one auditable row with line-level
+    accounting."""
     from light_splade_spark.functions.text_quality import quality_score
-    from light_splade_spark.operators.dedup import exact_dedup
+    from light_splade_spark.operators.dedup import exact_dedup, line_dedup
 
     docs = _docs(spark, sf_dir)
-    q = quality_score(docs).where("keep").select("doc_id")
-    kept = docs.join(q, docs.doc_id == q.doc_id, "left_semi")
+    cleaned = line_dedup(docs, max_occurrences=1)
+    lstats = cleaned.agg(
+        F.sum("n_lines_in").cast("bigint").alias("n_lines_total"),
+        F.sum(F.col("n_lines_in") - F.col("n_lines_kept")).cast("bigint")
+        .alias("n_lines_removed"))
+    q = quality_score(cleaned).where("keep").select("doc_id")
+    kept = cleaned.join(q, cleaned.doc_id == q.doc_id, "left_semi")
     deduped = exact_dedup(kept)
     return (docs.agg(F.count(F.lit(1)).alias("n_input"))
+            .crossJoin(lstats)
             .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_quality")))
             .crossJoin(deduped.agg(F.count(F.lit(1)).alias("n_distinct"))))
 
@@ -1643,8 +1652,25 @@ FROM events GROUP BY 1, 2
 """
 
     sw_lit = ", ".join(f"'{w}'" for w in STOPWORDS)
+    # mirrors operators/dedup.line_dedup (corpus-level boilerplate-line
+    # removal) -> quality filter on the CLEANED text -> exact dedup
     o["pipeline_attrition"] = f"""
-WITH toks AS (SELECT doc_id, text, {_TOK} AS t FROM documents),
+WITH l AS (
+  SELECT doc_id,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+         trim(unnest(string_split(text, chr(10)))) AS line
+  FROM documents),
+ln AS (SELECT doc_id, pos, line FROM l WHERE line <> ''),
+bad AS (SELECT line FROM ln GROUP BY line
+        HAVING count(DISTINCT doc_id) > 1),
+keptl AS (SELECT ln.* FROM ln ANTI JOIN bad USING (line)),
+reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+               count(*) AS n_kept
+        FROM keptl GROUP BY doc_id),
+cleaned AS (
+  SELECT d.doc_id, coalesce(r.text, '') AS text
+  FROM documents d LEFT JOIN reb r USING (doc_id)),
+toks AS (SELECT doc_id, text, {_TOK} AS t FROM cleaned),
 q AS (
   SELECT doc_id, text FROM toks
   WHERE len(t) >= 10
@@ -1652,6 +1678,9 @@ q AS (
     AND round(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 4)
         BETWEEN 2 AND 12)
 SELECT (SELECT count(*) FROM documents) AS n_input,
+       (SELECT count(*) FROM ln) AS n_lines_total,
+       (SELECT count(*) FROM ln) - (SELECT count(*) FROM keptl)
+         AS n_lines_removed,
        (SELECT count(*) FROM q) AS n_quality,
        (SELECT count(*) FROM (SELECT min(doc_id) FROM q GROUP BY md5(text)))
          AS n_distinct

@@ -1,0 +1,107 @@
+"""spark-submit entry: Gopher-style quality filtering of a web-text corpus.
+
+    spark-submit --py-files light_splade_spark.zip jobs/filter_corpus_job.py \
+        --input /path/to/documents.parquet \
+        --output /path/to/filtered \
+        [--id-col doc_id --text-col text] \
+        [--emit-rejected] [--metrics-out /path/metrics.parquet]
+
+The training-data-pipeline front door: computes the full per-doc quality
+report (quality_score + repetition_metrics + gopher_metrics, all map-only
+JVM expressions — functions/text_quality.py) once, then splits the corpus
+on the composite Gopher keep flag. Writes:
+
+- <output>/kept/       — surviving docs (original columns)
+- <output>/rejected/   — dropped docs (only with --emit-rejected)
+- --metrics-out        — the full per-doc metric report (optional; this
+                         is the audit trail a 100 TB filtering run needs)
+
+and prints one JSON summary line (counts + keep rate + per-rule failure
+counts, each computed distributed — the driver only collects scalars).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from light_splade_spark.functions import text_quality as tq
+
+# each rule as (name, SQL boolean over the metric row) — mirrors
+# gopher_keep_col; kept in one place so the failure accounting below can
+# report WHICH rule dropped each doc without recomputing any metric
+GOPHER_RULES: list[tuple[str, str]] = [
+    ("n_tokens_low", "n_tokens >= 50"),
+    ("n_tokens_high", "n_tokens <= 100000"),
+    ("mean_tok_len_low", "mean_tok_len >= 3"),
+    ("mean_tok_len_high", "mean_tok_len <= 10"),
+    ("symbol_word_ratio", "symbol_word_ratio <= 0.1"),
+    ("bullet_lines", "bullet_line_frac <= 0.9"),
+    ("ellipsis_lines", "ellipsis_line_frac <= 0.3"),
+    ("alpha_words", "alpha_word_frac >= 0.8"),
+    ("stop_words", "stop_hits >= 2"),
+    ("dup_lines", "dup_line_frac <= 0.3"),
+    ("dup_line_chars", "dup_line_char_frac <= 0.2"),
+    ("top_3gram_chars", "top_3gram_char_frac <= 0.18"),
+    ("dup_5gram_chars", "dup_5gram_char_frac <= 0.15"),
+]
+
+
+def metric_report(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc metric row joined across the three metric operators, plus
+    one boolean column per Gopher rule and the composite gopher_keep."""
+    rep = (
+        tq.quality_score(docs, id_col, text_col)
+        .join(tq.token_count(docs, id_col, text_col)
+              .select("doc_id", "n_distinct", "n_chars_text"), "doc_id")
+        .join(tq.repetition_metrics(docs, id_col, text_col), "doc_id")
+        .join(tq.gopher_metrics(docs, id_col, text_col), "doc_id")
+    )
+    for name, pred in GOPHER_RULES:
+        rep = rep.withColumn(f"pass_{name}", F.expr(pred))
+    return rep.withColumn(
+        "gopher_keep",
+        F.expr(" AND ".join(f"pass_{n}" for n, _ in GOPHER_RULES)))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--emit-rejected", action="store_true")
+    p.add_argument("--metrics-out", default=None)
+    args = p.parse_args()
+
+    spark = SparkSession.builder.appName("lss-filter-corpus").getOrCreate()
+    docs = spark.read.parquet(args.input)
+    rep = metric_report(docs, args.id_col, args.text_col)
+    if args.metrics_out:
+        rep.write.mode("overwrite").parquet(args.metrics_out)
+        rep = spark.read.parquet(args.metrics_out)  # reuse, don't recompute
+
+    keep_ids = rep.where("gopher_keep").select("doc_id")
+    kept = docs.join(keep_ids.withColumnRenamed("doc_id", args.id_col),
+                     args.id_col, "left_semi")
+    kept.write.mode("overwrite").parquet(f"{args.output}/kept")
+    if args.emit_rejected:
+        docs.join(keep_ids.withColumnRenamed("doc_id", args.id_col),
+                  args.id_col, "left_anti") \
+            .write.mode("overwrite").parquet(f"{args.output}/rejected")
+
+    # one distributed aggregation pass for the whole summary
+    aggs = [F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("gopher_keep").cast("long")).alias("kept")]
+    aggs += [F.sum((~F.col(f"pass_{n}")).cast("long")).alias(f"fail_{n}")
+             for n, _ in GOPHER_RULES]
+    row = rep.agg(*aggs).collect()[0].asDict()
+    row["keep_rate"] = round(row["kept"] / max(row["total"], 1), 4)
+    print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,21 @@ class Engine:
             out = out.drop("score")
         return out
 
+    def phrase(
+        self,
+        docs: DataFrame,
+        phrases: list[tuple[int, str]],
+        top_k: int = 10,
+    ) -> DataFrame:
+        """-> (pid, rank, doc_id, score): exact token-adjacent phrase
+        search (index/phrase.py, beyond the reference — its sparse
+        retriever scores bags of terms only). Conjunctive candidates come
+        from this index's postings; ``docs`` (the corpus the index was
+        built over) supplies text for the adjacency verify stage only."""
+        from light_splade_spark.index.phrase import phrase_topk
+        return phrase_topk(self.spark, self.index_dir, docs, phrases,
+                           top_k=top_k)
+
     # -- stats / lineage -----------------------------------------------------
 
     def terms(self) -> DataFrame:

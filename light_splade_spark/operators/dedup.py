@@ -47,6 +47,61 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     return docs.join(keep, docs[id_col] == keep["doc_id"], "left_semi")
 
 
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               max_occurrences: int = 1) -> DataFrame:
+    """C4/CCNet-style corpus-level boilerplate-line removal: a trimmed
+    non-empty line appearing in more than ``max_occurrences`` DISTINCT
+    documents (nav bars, cookie banners, footers) is removed from EVERY
+    document. Returns ``docs`` with ``text`` rebuilt from the surviving
+    lines in original order ('\\n'-joined trimmed lines — empty lines and
+    edge whitespace do not survive the rebuild, deterministically on both
+    engine and oracle), plus ``n_lines_in`` / ``n_lines_kept`` audit
+    columns. A document whose every line is boilerplate keeps its row
+    with empty text (the downstream quality filter is the stage that
+    drops it — stage accounting stays honest).
+
+    Plan shape at 100 TB: posexplode -> one groupBy(line) agg (partial
+    count-distinct on doc_id) -> left_anti join of line occurrences
+    against the over-frequent line set (small in practice — boilerplate
+    is by definition heavy-tailed — but never assumed driver-sized: it
+    stays a distributed equi-join, hot-line skew absorbed by AQE) ->
+    groupBy(doc) ordered rebuild. No Python anywhere.
+    """
+    lines = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(F.split(F.col(text_col), "\n"))
+                    .alias("pos", "raw"))
+        .select("doc_id", "pos", F.trim("raw").alias("line"))
+        .where(F.col("line") != "")
+    )
+    bad = (lines.groupBy("line")
+           .agg(F.countDistinct("doc_id").alias("ndocs"))
+           .where(F.col("ndocs") > max_occurrences)
+           .select("line"))
+    kept = lines.join(bad, "line", "left_anti")
+    rebuilt = (
+        kept.groupBy(F.col("doc_id").alias("__rb_id"))
+        .agg(F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"])).alias("__clean"),
+             F.count(F.lit(1)).alias("n_lines_kept"))
+    )
+    n_in = (lines.groupBy(F.col("doc_id").alias("__in_id"))
+            .agg(F.count(F.lit(1)).alias("n_lines_in")))
+    out = (
+        docs.join(n_in, F.col(id_col) == F.col("__in_id"), "left")
+        .join(rebuilt, F.col(id_col) == F.col("__rb_id"), "left")
+        .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
+        .withColumn("n_lines_in", F.coalesce("n_lines_in", F.lit(0)))
+        .withColumn("n_lines_kept", F.coalesce("n_lines_kept", F.lit(0)))
+        .drop("__clean", "__rb_id", "__in_id")
+    )
+    return out
+
+
 # --- shingles + MinHash LSH --------------------------------------------------
 
 MINHASH_K = 16           # signature length

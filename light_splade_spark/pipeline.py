@@ -2,6 +2,8 @@
 web corpus goes through before indexing/training.
 
 Stages (all shuffle-aware, all oracle-tested individually):
+  0. line dedup       (optional, operators.dedup.line_dedup: corpus-level
+                       boilerplate-line removal, C4/CCNet-style)
   1. quality filter   (functions.text_quality.quality_score -> keep)
   2. language filter  (functions.text_quality.lang_id, optional allowlist)
   3. exact dedup      (md5 digest groupBy, min doc_id wins)
@@ -34,8 +36,16 @@ def clean_corpus(
     allowed_langs: list[str] | None = None,
     jaccard_threshold: float = 0.8,
     shingle_n: int = 3,
+    dedup_lines: bool = False,
 ) -> tuple[DataFrame, dict]:
     report: dict[str, int] = {"input": docs.count()}
+
+    if dedup_lines:
+        from light_splade_spark.operators.dedup import line_dedup
+        docs = line_dedup(docs, id_col, text_col) \
+            .drop("n_lines_in", "n_lines_kept")
+        report["after_line_dedup_nonempty"] = \
+            docs.where(F.length(text_col) > 0).count()
 
     q = quality_score(docs, id_col, text_col).where("keep").select("doc_id")
     docs1 = docs.join(q, docs[id_col] == q["doc_id"], "left_semi")

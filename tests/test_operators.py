@@ -244,3 +244,35 @@ def test_ranking_metrics_golden(spark):
     assert r["ap"] == round(((1.0 / 1 + 2.0 / 3) / 2) / 2, 5)
     assert r["recall"] == round((2 / 2 + 0 / 1) / 2, 5)
     assert r["prec"] == round((2 / 3 + 0 / 3) / 2, 5)
+
+
+def test_line_dedup_golden(spark):
+    """Corpus-level boilerplate-line removal: a trimmed line in >1 distinct
+    docs vanishes everywhere; text rebuilds from surviving trimmed lines in
+    order; all-boilerplate docs keep their row with empty text."""
+    rows = [
+        (1, "unique one\nCookie Notice\nbody text a"),
+        (2, "  Cookie Notice \nbody text b\n\nunique two"),
+        (3, "Cookie Notice"),                       # all boilerplate
+        (4, "body text a\nbody text a\nsolo line"),  # intra-doc repeat: 1 doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in dedup.line_dedup(docs).collect()}
+    assert len(out) == 4
+    # "Cookie Notice" occurs in docs 1,2,3 -> removed everywhere;
+    # "body text a" occurs in docs 1,4 -> removed; intra-doc repeats alone
+    # (doc 4 only) would NOT trigger removal
+    assert out[1]["text"] == "unique one"
+    assert out[2]["text"] == "body text b\nunique two"   # empty line dropped
+    assert out[3]["text"] == ""
+    assert out[4]["text"] == "solo line"
+    assert (out[2]["n_lines_in"], out[2]["n_lines_kept"]) == (3, 2)
+    assert (out[3]["n_lines_in"], out[3]["n_lines_kept"]) == (1, 0)
+
+
+def test_line_dedup_max_occurrences(spark):
+    rows = [(1, "shared\na"), (2, "shared\nb"), (3, "c")]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup.line_dedup(docs, max_occurrences=2).collect()}
+    assert out == {1: "shared\na", 2: "shared\nb", 3: "c"}

@@ -104,3 +104,33 @@ def test_phrase_top_k_truncates(spark, docs, idx):
     res = phrase_topk(spark, idx, docs, [(1, "table scan")], top_k=3)
     rows = res.collect()
     assert len(rows) == 3 and {r["rank"] for r in rows} == {1, 2, 3}
+
+
+def test_engine_phrase_wrapper(spark, docs, idx):
+    from light_splade_spark.engine import Engine
+    eng = Engine.open(spark, idx)
+    res = eng.phrase(docs, [(1, "table scan")], top_k=5).collect()
+    assert len(res) == 5 and all(r["pid"] == 1 for r in res)
+
+
+def test_filter_job_metric_report(spark, docs):
+    """jobs/filter_corpus_job.metric_report: per-rule booleans AND-fold to
+    the composite flag and agree with tq.gopher_keep_col."""
+    from pyspark.sql import functions as FF
+
+    from jobs.filter_corpus_job import GOPHER_RULES, metric_report
+    from light_splade_spark.functions import text_quality as tq
+
+    rep = metric_report(docs).cache()
+    n = rep.count()
+    assert n == docs.count()
+    # composite == AND of the per-rule columns
+    bad = rep.where(
+        FF.col("gopher_keep") !=
+        FF.expr(" AND ".join(f"pass_{r}" for r, _ in GOPHER_RULES))).count()
+    assert bad == 0
+    # composite == the library's gopher_keep_col on the same metric row
+    bad2 = rep.withColumn("lib_keep", tq.gopher_keep_col()) \
+        .where(FF.col("gopher_keep") != FF.col("lib_keep")).count()
+    assert bad2 == 0
+    rep.unpersist()
