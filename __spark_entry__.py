@@ -541,21 +541,14 @@ def q_lang_id(spark, sf_dir):
 
 def q_quality_score(spark, sf_dir):
     """Quality scoring + token accounting + the full Gopher filter suite
-    in one per-doc report (F8/F9): tq.quality_score's ratio features and
-    keep flag joined with tq.token_count's distinct/char counts,
-    tq.repetition_metrics' duplicate-line/bigram/ellipsis fractions, and
-    tq.gopher_metrics' alpha/bullet/symbol/stop-word/top-3-gram/dup-5-gram
-    columns plus the composite tq.gopher_keep_col flag (all four operators
-    share the doc_id key; folded into one driver row to fit the 50-row
-    gate)."""
-    docs = _docs(spark, sf_dir)
-    counts = tq.token_count(docs).select("doc_id", "n_distinct",
-                                         "n_chars_text")
-    rep = tq.repetition_metrics(docs)
-    gop = tq.gopher_metrics(docs)
-    joined = (tq.quality_score(docs).join(counts, "doc_id")
-              .join(rep, "doc_id").join(gop, "doc_id"))
-    return joined.withColumn("gopher_keep", tq.gopher_keep_col())
+    in one per-doc report (F8/F9): tq.all_quality_metrics — quality_score's
+    ratio features and keep flag, token_count's distinct/char counts,
+    repetition_metrics' duplicate-line/bigram/ellipsis fractions, and
+    gopher_metrics' alpha/bullet/symbol/stop-word/top-3-gram/dup-5-gram
+    columns plus the composite gopher_keep flag, all as ONE map-only
+    projection (no doc_id joins; folded into one driver row to fit the
+    50-row gate)."""
+    return tq.all_quality_metrics(_docs(spark, sf_dir))
 
 
 def q_fingerprint(spark, sf_dir):

@@ -51,20 +51,14 @@ GOPHER_RULES: list[tuple[str, str]] = [
 
 
 def metric_report(docs, id_col: str = "doc_id", text_col: str = "text"):
-    """Per-doc metric row joined across the three metric operators, plus
-    one boolean column per Gopher rule and the composite gopher_keep."""
-    rep = (
-        tq.quality_score(docs, id_col, text_col)
-        .join(tq.token_count(docs, id_col, text_col)
-              .select("doc_id", "n_distinct", "n_chars_text"), "doc_id")
-        .join(tq.repetition_metrics(docs, id_col, text_col), "doc_id")
-        .join(tq.gopher_metrics(docs, id_col, text_col), "doc_id")
-    )
+    """Per-doc metric row (tq.all_quality_metrics — ONE map-only projection,
+    no doc_id joins, tokenization shared across metrics), plus one boolean
+    column per Gopher rule; its AND-fold equals the composite gopher_keep
+    the projection already computed."""
+    rep = tq.all_quality_metrics(docs, id_col, text_col)
     for name, pred in GOPHER_RULES:
         rep = rep.withColumn(f"pass_{name}", F.expr(pred))
-    return rep.withColumn(
-        "gopher_keep",
-        F.expr(" AND ".join(f"pass_{n}" for n, _ in GOPHER_RULES)))
+    return rep
 
 
 def main() -> None:
@@ -83,6 +77,11 @@ def main() -> None:
     if args.metrics_out:
         rep.write.mode("overwrite").parquet(args.metrics_out)
         rep = spark.read.parquet(args.metrics_out)  # reuse, don't recompute
+    else:
+        # the report feeds up to three actions (kept write, rejected
+        # write, summary agg) — without the parquet spill above, cache it
+        # so the corpus is metric-scanned once, not three times
+        rep = rep.persist()
 
     keep_ids = rep.where("gopher_keep").select("doc_id")
     kept = docs.join(keep_ids.withColumnRenamed("doc_id", args.id_col),
@@ -94,10 +93,13 @@ def main() -> None:
             .write.mode("overwrite").parquet(f"{args.output}/rejected")
 
     # one distributed aggregation pass for the whole summary
+    # coalesce(sum, 0): F.sum over zero rows is NULL — an empty input
+    # corpus must report zeros, not crash the summary arithmetic
     aggs = [F.count(F.lit(1)).alias("total"),
-            F.sum(F.col("gopher_keep").cast("long")).alias("kept")]
-    aggs += [F.sum((~F.col(f"pass_{n}")).cast("long")).alias(f"fail_{n}")
-             for n, _ in GOPHER_RULES]
+            F.coalesce(F.sum(F.col("gopher_keep").cast("long")), F.lit(0))
+            .alias("kept")]
+    aggs += [F.coalesce(F.sum((~F.col(f"pass_{n}")).cast("long")), F.lit(0))
+             .alias(f"fail_{n}") for n, _ in GOPHER_RULES]
     row = rep.agg(*aggs).collect()[0].asDict()
     row["keep_rate"] = round(row["kept"] / max(row["total"], 1), 4)
     print(json.dumps(row))

@@ -23,17 +23,73 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS = LANG_MARKERS["en"]
 
 
+# --- shared expression helpers (one definition; engine and every caller
+# diverging from the DuckDB oracle mirrors is the risk these remove) -------
+
+def _frac(num, den):
+    """round(num/den, 4) with zero denominators -> 0.0 (every ratio metric
+    in this module uses this rule; the oracles mirror it)."""
+    return F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 4)
+
+
+def _nonempty_lines(t):
+    """Trimmed non-empty lines of a text column (the line unit every
+    line-level Gopher metric and line_dedup agree on)."""
+    return F.filter(F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+                    lambda x: x != F.lit(""))
+
+
+def _dup_occurrence_idx(arr, n):
+    """1-based indices of occurrences duplicated in SORTED array ``arr`` of
+    size ``n`` — the sorted-neighbor trick: an occurrence is a duplicate
+    iff it equals the previous or next element. Tie-free (any total order
+    groups equal elements adjacently)."""
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+           .otherwise(F.array().cast("array<int>"))
+    return F.filter(idx, lambda i: (
+        ((i > 1) & (F.element_at(arr, i - 1) == F.element_at(arr, i)))
+        | ((i < n) & (F.element_at(arr, i + 1) == F.element_at(arr, i)))))
+
+
+def _token_count_exprs(text_col: str) -> dict:
+    toks = tokens_col(text_col)
+    return {
+        "n_tokens": F.size(toks),
+        "n_distinct": F.size(F.array_distinct(toks)),
+        "n_chars_text": F.length(text_col),
+    }
+
+
+def _quality_exprs(text_col: str) -> dict:
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    alnum = F.length(F.regexp_replace(F.lower(text_col), "[^a-z0-9]", ""))
+    sw = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    ttr = F.round(F.size(F.array_distinct(toks)) / n, 4)
+    mtl = F.round(
+        F.aggregate(toks, F.lit(0).cast("bigint"),
+                    lambda acc, t: acc + F.length(t)) / n, 4)
+    return {
+        "n_tokens": n,
+        "ttr": ttr,
+        "mean_tok_len": mtl,
+        "stopword_ratio": F.round(sw / n, 4),
+        "alnum_ratio": F.round(
+            alnum / F.greatest(F.length(text_col), F.lit(1)), 4),
+        "keep": (n >= 10) & (ttr >= 0.1) & (mtl >= 2) & (mtl <= 12),
+    }
+
+
+def _select(docs: DataFrame, id_col: str, exprs: dict) -> DataFrame:
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       *[v.alias(k) for k, v in exprs.items()])
+
+
 def token_count(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_distinct, n_chars_text) — whitespace+regex token
     counting (the BPE-ish regex is the analyzer's [a-z0-9]+ rule)."""
-    toks = tokens_col(text_col)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.length(text_col).alias("n_chars_text"),
-    )
+    return _select(docs, id_col, _token_count_exprs(text_col))
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id",
@@ -41,26 +97,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     """Heuristic doc-quality features + composite flag:
     type-token ratio, mean token length, stopword ratio, alnum char ratio.
     Thresholds follow common web-corpus filters (Gopher-style rules)."""
-    toks = tokens_col(text_col)
-    n = F.size(toks)
-    alnum = F.length(F.regexp_replace(F.lower(text_col), "[^a-z0-9]", ""))
-    sw = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
-    out = docs.select(
-        F.col(id_col).alias("doc_id"),
-        n.alias("n_tokens"),
-        F.round(F.size(F.array_distinct(toks)) / n, 4).alias("ttr"),
-        F.round(
-            F.aggregate(toks, F.lit(0).cast("bigint"),
-                        lambda acc, t: acc + F.length(t)) / n, 4
-        ).alias("mean_tok_len"),
-        F.round(sw / n, 4).alias("stopword_ratio"),
-        F.round(alnum / F.greatest(F.length(text_col), F.lit(1)), 4).alias("alnum_ratio"),
-    )
-    return out.withColumn(
-        "keep",
-        (F.col("n_tokens") >= 10) & (F.col("ttr") >= 0.1)
-        & (F.col("mean_tok_len") >= 2) & (F.col("mean_tok_len") <= 12),
-    )
+    return _select(docs, id_col, _quality_exprs(text_col))
 
 
 def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
@@ -85,16 +122,15 @@ def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
     a neighbor after array_sort), which is tie-free: any total order
     groups equal elements adjacently.
     """
+    return _select(docs, id_col, _repetition_exprs(text_col))
+
+
+def _repetition_exprs(text_col: str) -> dict:
     t = F.col(text_col)
-    lines = F.filter(F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
-                     lambda x: x != F.lit(""))
+    lines = _nonempty_lines(t)
     ls = F.array_sort(lines)
     nl = F.size(ls)
-    idx = F.when(nl >= 1, F.sequence(F.lit(1), nl)) \
-           .otherwise(F.array().cast("array<int>"))
-    dup_idx = F.filter(idx, lambda i: (
-        ((i > 1) & (F.element_at(ls, i - 1) == F.element_at(ls, i)))
-        | ((i < nl) & (F.element_at(ls, i + 1) == F.element_at(ls, i)))))
+    dup_idx = _dup_occurrence_idx(ls, nl)
     line_chars = F.aggregate(ls, F.lit(0).cast("bigint"),
                              lambda a, x: a + F.length(x))
     dup_chars = F.aggregate(dup_idx, F.lit(0).cast("bigint"),
@@ -107,25 +143,16 @@ def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
           .otherwise(F.array().cast("array<string>"))
     bs = F.array_sort(bg)
     nb = F.size(bs)
-    bidx = F.when(nb >= 1, F.sequence(F.lit(1), nb)) \
-            .otherwise(F.array().cast("array<int>"))
-    dup_bg = F.size(F.filter(bidx, lambda i: (
-        ((i > 1) & (F.element_at(bs, i - 1) == F.element_at(bs, i)))
-        | ((i < nb) & (F.element_at(bs, i + 1) == F.element_at(bs, i))))))
+    dup_bg = F.size(_dup_occurrence_idx(bs, nb))
     ell = F.size(F.filter(lines, lambda x: x.endswith("...")
                           | x.endswith("…")))
-
-    def _frac(num, den):
-        return F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 4)
-
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        nl.alias("n_lines"),
-        _frac(nl - F.size(F.array_distinct(ls)), nl).alias("dup_line_frac"),
-        _frac(dup_chars, line_chars).alias("dup_line_char_frac"),
-        _frac(dup_bg, nb).alias("dup_2gram_frac"),
-        _frac(ell, nl).alias("ellipsis_line_frac"),
-    )
+    return {
+        "n_lines": nl,
+        "dup_line_frac": _frac(nl - F.size(F.array_distinct(ls)), nl),
+        "dup_line_char_frac": _frac(dup_chars, line_chars),
+        "dup_2gram_frac": _frac(dup_bg, nb),
+        "ellipsis_line_frac": _frac(ell, nl),
+    }
 
 
 # Gopher A1.1 stop-word presence rule: a kept page must contain >= 2 of
@@ -162,6 +189,10 @@ def gopher_metrics(docs: DataFrame, id_col: str = "doc_id",
     ``gopher_keep_col`` so it can be applied to the JOINED metric row
     (it also needs repetition_metrics/quality_score columns).
     """
+    return _select(docs, id_col, _gopher_exprs(text_col))
+
+
+def _gopher_exprs(text_col: str) -> dict:
     t = F.col(text_col)
     toks = tokens_col(text_col)
     nt = F.size(toks)
@@ -199,17 +230,12 @@ def gopher_metrics(docs: DataFrame, id_col: str = "doc_id",
 
     g5s = F.array_sort(_grams(5))
     n5 = F.size(g5s)
-    i5 = F.when(n5 >= 1, F.sequence(F.lit(1), n5)) \
-          .otherwise(F.array().cast("array<int>"))
     dup5_chars = F.aggregate(
-        F.filter(i5, lambda i: (
-            ((i > 1) & (F.element_at(g5s, i - 1) == F.element_at(g5s, i)))
-            | ((i < n5) & (F.element_at(g5s, i + 1) == F.element_at(g5s, i))))),
+        _dup_occurrence_idx(g5s, n5),
         F.lit(0).cast("bigint"),
         lambda a, i: a + F.length(F.element_at(g5s, i)) - 4)
 
-    lines = F.filter(F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
-                     lambda x: x != F.lit(""))
+    lines = _nonempty_lines(t)
     nl = F.size(lines)
     bullets = F.size(F.filter(lines, lambda x: (
         x.startswith("-") | x.startswith("*")
@@ -220,20 +246,32 @@ def gopher_metrics(docs: DataFrame, id_col: str = "doc_id",
         + F.length(t) - F.length(F.regexp_replace(t, "…", "")))
     stop_hits = F.size(F.filter(F.array_distinct(toks),
                                 lambda x: x.isin(GOPHER_STOPWORDS)))
+    return {
+        "alpha_word_frac": _frac(
+            F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))), nt),
+        "bullet_line_frac": _frac(bullets, nl),
+        "symbol_word_ratio": _frac(symbols, nt),
+        "stop_hits": stop_hits,
+        "top_3gram_char_frac": _frac(mode3, token_chars),
+        "dup_5gram_char_frac": _frac(dup5_chars, token_chars),
+    }
 
-    def _frac(num, den):
-        return F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 4)
 
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        _frac(F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))), nt)
-        .alias("alpha_word_frac"),
-        _frac(bullets, nl).alias("bullet_line_frac"),
-        _frac(symbols, nt).alias("symbol_word_ratio"),
-        stop_hits.alias("stop_hits"),
-        _frac(mode3, token_chars).alias("top_3gram_char_frac"),
-        _frac(dup5_chars, token_chars).alias("dup_5gram_char_frac"),
-    )
+def all_quality_metrics(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """The full per-doc metric row — quality_score + token_count +
+    repetition_metrics + gopher_metrics + the composite ``gopher_keep``
+    flag — as ONE map-only projection (no joins, no shuffle; Spark's
+    subexpression elimination evaluates the shared tokenization once per
+    row). Column-for-column identical to joining the four operators on
+    doc_id; this is the form a 100 TB filtering pass should run."""
+    exprs = {**_quality_exprs(text_col)}
+    for d in (_token_count_exprs(text_col), _repetition_exprs(text_col),
+              _gopher_exprs(text_col)):
+        for k, v in d.items():
+            exprs.setdefault(k, v)
+    out = _select(docs, id_col, exprs)
+    return out.withColumn("gopher_keep", gopher_keep_col())
 
 
 def gopher_keep_col():

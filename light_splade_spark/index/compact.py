@@ -193,6 +193,14 @@ def compact_index(spark: SparkSession, index_dir: str, gc: bool = True,
     man.live_groups = [group, *survivors]
     man.compact_epoch = epoch
     man.terms_dir = new_terms
+    # record the folded groups so a crashed append's foreachBatch retry
+    # can detect its group was already absorbed (re-registering it would
+    # double-count the batch's postings). Cumulative, capped — a genuine
+    # retry can only concern a recent batch.
+    man.retired_groups = [
+        *[g for g in getattr(man, "retired_groups", [])
+          if g not in decoded_set],
+        *sorted(decoded_set)][-10000:]
     man.save(index_dir)
     # the compacted group was decoded through decode_postings, which drops
     # tombstoned docs — those deletes are now physical, clear their markers
@@ -246,8 +254,19 @@ def gc_postings(index_dir: str, man: IndexManifest | None = None,
             fresh = False
         if name in dead or not fresh:
             _rm(path, name)
+    # stale terms-dim dirs get the SAME grace window as posting groups:
+    # an in-flight append resolved its terms path from the pre-compaction
+    # manifest, and an immediate sweep here would delete that dir out from
+    # under its lazy reads (the exact write-gap race the posting grace
+    # closes). Superseded dirs are small; they age out on a later sweep.
     cur_terms = getattr(man, "terms_dir", "terms")
     for d in sorted(os.listdir(index_dir)):
         if (d == "terms" or d.startswith("terms_v")) and d != cur_terms:
-            _rm(os.path.join(index_dir, d), d)
+            path = os.path.join(index_dir, d)
+            try:
+                fresh = (now - os.path.getmtime(path)) < grace_sec
+            except OSError:
+                fresh = False
+            if not fresh:
+                _rm(path, d)
     return removed

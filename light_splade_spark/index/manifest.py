@@ -61,6 +61,13 @@ class IndexManifest:
     # flipping it is the compactor's atomic commit.
     live_groups: list[str] | None = None
     compact_epoch: int = 0
+    # groups a compaction has folded into its compact group (cumulative,
+    # capped). A foreachBatch RETRY of an append that registered and then
+    # crashed must not re-register a group a concurrent compaction already
+    # absorbed — that would double every doc's postings (live in both the
+    # compact group and the resurrected append group). append_batch checks
+    # this set before writing (early exit) and again before registering.
+    retired_groups: list[str] = field(default_factory=list)
     # terms-dim directory name (relative to index_dir). Compaction rewrites
     # the append-accumulated small files into terms_v<epoch> and flips this
     # pointer in the same atomic manifest save as live_groups.

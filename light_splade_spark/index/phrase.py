@@ -102,14 +102,17 @@ def phrase_topk(
         .select("pid", "doc_id", "score")
     )
 
-    # VERIFY: shrink the corpus scan to candidate ids first (broadcast
-    # semi-join reaches the parquet scan via DPP/runtime filtering), then
-    # tokenize only the survivors and test contiguous-subsequence with a
-    # JVM higher-order function. size guard keeps sequence() well-formed
-    # for docs shorter than the phrase.
+    # VERIFY: shrink the corpus scan to candidate ids first (semi-join;
+    # AQE broadcasts it when the candidate set is small — the common
+    # multi-term-phrase case — and falls back to a shuffled semi-join when
+    # a single-token or stop-word phrase makes candidates corpus-scale,
+    # where a forced broadcast would OOM the driver), then tokenize only
+    # the survivors and test contiguous-subsequence with a JVM
+    # higher-order function. size guard keeps sequence() well-formed for
+    # docs shorter than the phrase.
     cand_ids = cand.select("doc_id").distinct()
     dtoks = (
-        docs.join(F.broadcast(cand_ids),
+        docs.join(cand_ids,
                   docs[id_col] == cand_ids["doc_id"], "left_semi")
         .select(F.col(id_col).alias("doc_id"),
                 ana.spark_tokens(text_col).alias("toks"))

@@ -24,6 +24,7 @@ Query-side: the WAND kernel merges multiple posting rows per (shard, term)
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,7 +48,14 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
     """Append new docs to an existing complete index (immutable new group).
 
     Re-running with the same ``batch_id`` overwrites the same group dir —
-    idempotent, which is what foreachBatch retries require.
+    idempotent, which is what foreachBatch retries require. (Exception to
+    full idempotency: the doc_stats/terms APPENDS can leave duplicate
+    audit rows if the first attempt crashed after writing them — scoring
+    is unaffected (postings carry precomputed impacts; terms re-append is
+    left-anti-guarded) and compaction reads doc_stats only for max(doc_id).
+    A retry whose group a compaction already folded is detected via
+    ``manifest.retired_groups`` and skipped entirely — re-registering it
+    would double-count the batch's postings.)
 
     SINGLE WRITER: appends, deletes, and compactions must be serialized by
     the caller (jobs/maintain_index_job.py runs them sequentially; a
@@ -62,6 +70,19 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
     man = IndexManifest.load(index_dir)
     if man.status != "complete":
         raise ValueError("cannot append to an incomplete index")
+    if f"append-{batch_id}" in getattr(man, "retired_groups", []):
+        # this batch registered on a previous attempt and a compaction has
+        # since folded it into the compact group — every doc is already
+        # served from there. Re-running the append would double-count the
+        # batch (live in compact AND resurrected append group). Complete
+        # the one step a post-register crash can leave dangling, then stop.
+        # (If the batch re-appended tombstoned ids and the crash predated
+        # this drop, the fold purged those ids — the delete wins on this
+        # crash path, consistent with the fenced-clear contract.)
+        from light_splade_spark.index.tombstones import drop_tombstones_for
+        drop_tombstones_for(spark, index_dir,
+                            docs.select(F.col(id_col).alias("doc_id")))
+        return
     if not docs.take(1):
         return  # empty micro-batch: no group dir, no manifest churn
     t0 = time.time()
@@ -181,7 +202,13 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
     man = IndexManifest.load(index_dir)
     if man.live_groups is not None:
         group = f"append-{batch_id}"
-        if group not in man.live_groups:
+        if group in getattr(man, "retired_groups", []):
+            # a compaction absorbed a previous attempt's registration while
+            # this retry was re-writing the group dir: the batch is already
+            # live inside the compact group. Registering the rewrite would
+            # double-count it — drop the dir instead.
+            shutil.rmtree(out_dir, ignore_errors=True)
+        elif group not in man.live_groups:
             man.live_groups = [*man.live_groups, group]
             man.save(index_dir)
     # if a compaction flipped the terms-dim pointer while this append ran,

@@ -75,9 +75,14 @@ def test_compact_identity_and_single_row_per_term(spark, tmp_path):
     man = compact_index(spark, idx)
     assert man.live_groups == ["compact-1"] and man.compact_epoch == 1
     assert _groups_on_disk(idx) == ["compact-1"]  # gc removed the rest
-    # terms dim folded into one versioned dir, old one GC'd, pointer flips
+    # terms dim folded into one versioned dir, pointer flips; the old dir
+    # survives the commit's graced GC (an in-flight append may still read
+    # it — test_terms_gc_grace_window covers its aged-out sweep) but is
+    # no longer what readers resolve
     assert man.terms_dir == "terms_v1"
     assert os.path.isdir(os.path.join(idx, "terms_v1"))
+    assert os.path.isdir(os.path.join(idx, "terms"))
+    gc_postings(idx, grace_sec=0.0)
     assert not os.path.isdir(os.path.join(idx, "terms"))
     post_max = read_postings(spark, idx).groupBy(
         "shard", "bucket", "term_id").count().agg(F.max("count")).first()[0]
@@ -121,10 +126,10 @@ def test_crash_after_commit_before_gc(spark, tmp_path):
     assert _results(spark, idx) == before
     assert _results(spark, idx, local="force") == before
     # default grace window protects FRESH non-live posting dirs (an
-    # append's write->register gap) — stale terms-dim versions still go;
-    # an explicit grace_sec=0 sweeps postings immediately
+    # append's write->register gap) AND fresh superseded terms dirs (an
+    # in-flight append may still read the old dim); grace_sec=0 sweeps both
     graced = gc_postings(idx)
-    assert all(g.startswith("terms") for g in graced)
+    assert graced == []
     assert "append-a1" in _groups_on_disk(idx)
     removed = gc_postings(idx, grace_sec=0.0)
     assert "append-a1" in removed and _groups_on_disk(idx) == ["compact-1"]

@@ -260,3 +260,90 @@ def test_engine_info_snapshot(spark, tmp_path):
     assert "0" in info2["orphan_groups"]
     assert info2["pending_tombstones"] == 0
     assert info2["terms_dir"] == "terms_v1"
+
+
+def test_retry_of_retired_group_not_reregistered(spark, tmp_path):
+    """A foreachBatch retry of an append a compaction already folded must
+    NOT re-register the group: the batch's docs are live inside the
+    compact group, and resurrecting the append group would double every
+    posting (review finding r6). Early-exit path: the retry sees its
+    group in manifest.retired_groups before writing anything."""
+    from light_splade_spark.index.compact import compact_index
+    from light_splade_spark.index.manifest import IndexManifest
+    from light_splade_spark.streaming.incremental import append_batch
+
+    alldocs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs = alldocs.where(F.col("doc_id") < 150)
+    app = alldocs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 170))
+    idx = str(tmp_path / "retry")
+    Engine.build(spark, docs, idx, n_shards=2, n_buckets=4,
+                 n_salts=2, n_shard_groups=1)
+    append_batch(spark, idx, app, "b1")
+    compact_index(spark, idx)  # folds append-b1, retires it
+    man = IndexManifest.load(idx)
+    assert "append-b1" in man.retired_groups
+    before = _hits(spark, idx)
+
+    append_batch(spark, idx, app, "b1")  # the retry
+    man2 = IndexManifest.load(idx)
+    assert man2.live_groups == ["compact-1"]
+    assert not os.path.isdir(os.path.join(idx, "postings",
+                                          "shard_group=append-b1"))
+    assert _hits(spark, idx) == before  # no doubled scores
+
+
+def test_retry_racing_compaction_not_reregistered(spark, tmp_path):
+    """Late path: the retry starts before the fold (group not yet retired),
+    rewrites its dir, and a compaction commits mid-retry. The registration
+    step must detect the retirement, drop the rewritten dir, and leave
+    scores identical to the compacted index (no double-count)."""
+    from light_splade_spark.index.compact import compact_index
+    from light_splade_spark.index.manifest import IndexManifest
+    from light_splade_spark.streaming.incremental import append_batch
+
+    alldocs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs = alldocs.where(F.col("doc_id") < 150)
+    app = alldocs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 170))
+    idx = str(tmp_path / "retryrace")
+    Engine.build(spark, docs, idx, n_shards=2, n_buckets=4,
+                 n_salts=2, n_shard_groups=1)
+    append_batch(spark, idx, app, "b2")  # first attempt, registered
+
+    append_batch(spark, idx, app, "b2",  # retry; compaction folds mid-way
+                 _pre_register_hook=lambda: compact_index(spark, idx))
+    man = IndexManifest.load(idx)
+    assert man.live_groups == ["compact-1"]
+    assert "append-b2" in man.retired_groups
+    assert not os.path.isdir(os.path.join(idx, "postings",
+                                          "shard_group=append-b2"))
+    # every batch doc scores exactly once (via the compact group)
+    hits = _hits(spark, idx, k=0)
+    ref = {(r.qid, r.doc_id): r.score for r in
+           wand_topk(spark, idx, QS, top_k=0, local="force").collect()}
+    assert hits == ref
+
+
+def test_terms_gc_grace_window(spark, tmp_path):
+    """A superseded terms dir survives GC while fresh (an in-flight append
+    may still read it — the same write-gap race as posting groups) and is
+    swept once aged."""
+    import time as _time
+
+    from light_splade_spark.index.compact import compact_index, gc_postings
+    from light_splade_spark.streaming.incremental import append_batch
+
+    alldocs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs = alldocs.where(F.col("doc_id") < 120)
+    app = alldocs.where((F.col("doc_id") >= 120) & (F.col("doc_id") < 140))
+    idx = str(tmp_path / "tgrace")
+    Engine.build(spark, docs, idx, n_shards=2, n_buckets=4,
+                 n_salts=2, n_shard_groups=1)
+    append_batch(spark, idx, app, "t1")
+    compact_index(spark, idx)  # flips terms -> terms_v1, GC graced
+    old_terms = os.path.join(idx, "terms")
+    assert os.path.isdir(old_terms)      # fresh: survived the commit's GC
+    assert gc_postings(idx) == []        # still graced
+    past = _time.time() - 7200
+    os.utime(old_terms, (past, past))
+    assert "terms" in gc_postings(idx)   # aged out
+    assert not os.path.isdir(old_terms)
