@@ -9,7 +9,7 @@
     spark-submit ... jobs/maintain_index_job.py \
         --index-dir /path/to/index compact [--no-gc]
     spark-submit ... jobs/maintain_index_job.py \
-        --index-dir /path/to/index gc
+        --index-dir /path/to/index gc [--grace-sec 3600]
 
 The LSM lifecycle (index/compact.py, index/tombstones.py): appends add
 immutable shard groups, deletes add tombstone markers, compact folds both
@@ -46,7 +46,10 @@ def main() -> None:
     cp.add_argument("--no-gc", action="store_true",
                     help="skip deleting non-live group dirs (run `gc` later)")
 
-    sub.add_parser("gc")
+    gp = sub.add_parser("gc")
+    gp.add_argument("--grace-sec", type=float, default=3600.0,
+                    help="age (s) a non-live dir must reach before removal "
+                         "(protects in-flight appends; 0 = sweep now)")
 
     args = p.parse_args()
     spark = SparkSession.builder.appName(
@@ -74,7 +77,7 @@ def main() -> None:
                "live_groups": man.live_groups}
     else:  # gc
         from light_splade_spark.index.compact import gc_postings
-        removed = gc_postings(args.index_dir)
+        removed = gc_postings(args.index_dir, grace_sec=args.grace_sec)
         out = {"op": "gc", "removed_groups": removed}
 
     print(json.dumps(out))

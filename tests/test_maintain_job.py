@@ -48,7 +48,12 @@ def test_maintain_job_lifecycle(spark, tmp_path, monkeypatch, capsys):
                ["--index-dir", idx, "compact", "--no-gc"])
     assert out["op"] == "compact" and out["live_groups"] == ["compact-1"]
 
+    # default gc leaves the fresh folded group (grace window protects
+    # in-flight appends); an explicit --grace-sec 0 sweeps it now
     out = _run(monkeypatch, capsys, ["--index-dir", idx, "gc"])
+    assert out["removed_groups"] == []
+    out = _run(monkeypatch, capsys,
+               ["--index-dir", idx, "gc", "--grace-sec", "0"])
     assert "append-j1" in out["removed_groups"]
 
     man = IndexManifest.load(idx)
