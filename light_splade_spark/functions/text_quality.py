@@ -51,19 +51,67 @@ def _dup_occurrence_idx(arr, n):
         | ((i < n) & (F.element_at(arr, i + 1) == F.element_at(arr, i)))))
 
 
-def _token_count_exprs(text_col: str) -> dict:
-    toks = tokens_col(text_col)
+# Materialized-intermediate column names. Every heavy array (tokens, sorted
+# lines, sorted n-gram arrays) is computed ONCE as a real column in a staged
+# projection, so metric expressions — and crucially HOF *lambda bodies* like
+# ``element_at(g5s, i)`` inside F.aggregate — only ever reference an
+# attribute. Referencing the computed tree directly inside a lambda
+# re-evaluates the whole tokenize+sort subtree per array element (O(n^2+)
+# per doc); that is the failure mode this layout removes. Catalyst's
+# CollapseProject keeps the stages separate because the producers are
+# non-cheap and multiply-consumed.
+_TEXT, _TOKS, _LS, _BS, _G3, _G5 = (
+    "__text", "__toks", "__ls", "__bs", "__g3s", "__g5s")
+
+
+def _word_grams(toks, n: int):
+    """Space-joined word n-grams of an ALREADY-MATERIALIZED token array
+    column (attribute reference only — see module note above)."""
+    nt = F.size(toks)
+    return F.when(nt >= n, F.transform(
+        F.sequence(F.lit(1), nt - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]))) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def _stage(docs: DataFrame, id_col: str, text_col: str, *,
+           lines: bool = False, bigrams: bool = False,
+           grams35: bool = False) -> DataFrame:
+    """Stage 1: doc_id, raw text, token array (+ sorted line array).
+    Stage 2 (optional): sorted word 2-/3-/5-gram arrays built from the
+    stage-1 token ATTRIBUTE. Line filters (bullet/ellipsis) only count
+    matches, so one sorted line array serves all line metrics."""
+    s1 = [F.col(id_col).alias("doc_id"), F.col(text_col).alias(_TEXT),
+          tokens_col(text_col).alias(_TOKS)]
+    if lines:
+        s1.append(F.array_sort(_nonempty_lines(F.col(text_col))).alias(_LS))
+    df = docs.select(*s1)
+    if bigrams or grams35:
+        toks = F.col(_TOKS)
+        s2 = [F.col(c) for c in df.columns]
+        if bigrams:
+            s2.append(F.array_sort(_word_grams(toks, 2)).alias(_BS))
+        if grams35:
+            s2.append(F.array_sort(_word_grams(toks, 3)).alias(_G3))
+            s2.append(F.array_sort(_word_grams(toks, 5)).alias(_G5))
+        df = df.select(*s2)
+    return df
+
+
+def _token_count_exprs() -> dict:
+    toks = F.col(_TOKS)
     return {
         "n_tokens": F.size(toks),
         "n_distinct": F.size(F.array_distinct(toks)),
-        "n_chars_text": F.length(text_col),
+        "n_chars_text": F.length(F.col(_TEXT)),
     }
 
 
-def _quality_exprs(text_col: str) -> dict:
-    toks = tokens_col(text_col)
+def _quality_exprs() -> dict:
+    toks, text = F.col(_TOKS), F.col(_TEXT)
     n = F.size(toks)
-    alnum = F.length(F.regexp_replace(F.lower(text_col), "[^a-z0-9]", ""))
+    alnum = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
     sw = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
     ttr = F.round(F.size(F.array_distinct(toks)) / n, 4)
     mtl = F.round(
@@ -75,21 +123,20 @@ def _quality_exprs(text_col: str) -> dict:
         "mean_tok_len": mtl,
         "stopword_ratio": F.round(sw / n, 4),
         "alnum_ratio": F.round(
-            alnum / F.greatest(F.length(text_col), F.lit(1)), 4),
+            alnum / F.greatest(F.length(text), F.lit(1)), 4),
         "keep": (n >= 10) & (ttr >= 0.1) & (mtl >= 2) & (mtl <= 12),
     }
 
 
-def _select(docs: DataFrame, id_col: str, exprs: dict) -> DataFrame:
-    return docs.select(F.col(id_col).alias("doc_id"),
-                       *[v.alias(k) for k, v in exprs.items()])
+def _select(docs: DataFrame, exprs: dict) -> DataFrame:
+    return docs.select("doc_id", *[v.alias(k) for k, v in exprs.items()])
 
 
 def token_count(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_distinct, n_chars_text) — whitespace+regex token
     counting (the BPE-ish regex is the analyzer's [a-z0-9]+ rule)."""
-    return _select(docs, id_col, _token_count_exprs(text_col))
+    return _select(_stage(docs, id_col, text_col), _token_count_exprs())
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id",
@@ -97,7 +144,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     """Heuristic doc-quality features + composite flag:
     type-token ratio, mean token length, stopword ratio, alnum char ratio.
     Thresholds follow common web-corpus filters (Gopher-style rules)."""
-    return _select(docs, id_col, _quality_exprs(text_col))
+    return _select(_stage(docs, id_col, text_col), _quality_exprs())
 
 
 def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
@@ -122,29 +169,21 @@ def repetition_metrics(docs: DataFrame, id_col: str = "doc_id",
     a neighbor after array_sort), which is tie-free: any total order
     groups equal elements adjacently.
     """
-    return _select(docs, id_col, _repetition_exprs(text_col))
+    return _select(_stage(docs, id_col, text_col, lines=True, bigrams=True),
+                   _repetition_exprs())
 
 
-def _repetition_exprs(text_col: str) -> dict:
-    t = F.col(text_col)
-    lines = _nonempty_lines(t)
-    ls = F.array_sort(lines)
+def _repetition_exprs() -> dict:
+    ls, bs = F.col(_LS), F.col(_BS)
     nl = F.size(ls)
     dup_idx = _dup_occurrence_idx(ls, nl)
     line_chars = F.aggregate(ls, F.lit(0).cast("bigint"),
                              lambda a, x: a + F.length(x))
     dup_chars = F.aggregate(dup_idx, F.lit(0).cast("bigint"),
                             lambda a, i: a + F.length(F.element_at(ls, i)))
-    toks = tokens_col(text_col)
-    nt = F.size(toks)
-    bg = F.when(nt >= 2, F.zip_with(
-        F.slice(toks, 1, nt - 1), F.slice(toks, 2, nt - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b))) \
-          .otherwise(F.array().cast("array<string>"))
-    bs = F.array_sort(bg)
     nb = F.size(bs)
     dup_bg = F.size(_dup_occurrence_idx(bs, nb))
-    ell = F.size(F.filter(lines, lambda x: x.endswith("...")
+    ell = F.size(F.filter(ls, lambda x: x.endswith("...")
                           | x.endswith("…")))
     return {
         "n_lines": nl,
@@ -189,26 +228,17 @@ def gopher_metrics(docs: DataFrame, id_col: str = "doc_id",
     ``gopher_keep_col`` so it can be applied to the JOINED metric row
     (it also needs repetition_metrics/quality_score columns).
     """
-    return _select(docs, id_col, _gopher_exprs(text_col))
+    return _select(_stage(docs, id_col, text_col, lines=True, grams35=True),
+                   _gopher_exprs())
 
 
-def _gopher_exprs(text_col: str) -> dict:
-    t = F.col(text_col)
-    toks = tokens_col(text_col)
+def _gopher_exprs() -> dict:
+    t, toks = F.col(_TEXT), F.col(_TOKS)
     nt = F.size(toks)
     token_chars = F.aggregate(toks, F.lit(0).cast("bigint"),
                               lambda a, x: a + F.length(x))
 
-    def _el(i):
-        return F.element_at(toks, i)
-
-    def _grams(n):
-        return F.when(nt >= n, F.transform(
-            F.sequence(F.lit(1), nt - (n - 1)),
-            lambda i: F.concat_ws(" ", *[_el(i + j) for j in range(n)]))) \
-                .otherwise(F.array().cast("array<string>"))
-
-    g3s = F.array_sort(_grams(3))
+    g3s = F.col(_G3)
     mode3 = F.aggregate(
         g3s,
         F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
@@ -228,14 +258,14 @@ def _gopher_exprs(text_col: str) -> dict:
         lambda acc: acc["best_run"]
         * F.greatest(F.length(acc["best"]) - 2, F.lit(0)))
 
-    g5s = F.array_sort(_grams(5))
+    g5s = F.col(_G5)
     n5 = F.size(g5s)
     dup5_chars = F.aggregate(
         _dup_occurrence_idx(g5s, n5),
         F.lit(0).cast("bigint"),
         lambda a, i: a + F.length(F.element_at(g5s, i)) - 4)
 
-    lines = _nonempty_lines(t)
+    lines = F.col(_LS)
     nl = F.size(lines)
     bullets = F.size(F.filter(lines, lambda x: (
         x.startswith("-") | x.startswith("*")
@@ -261,17 +291,19 @@ def all_quality_metrics(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
     """The full per-doc metric row — quality_score + token_count +
     repetition_metrics + gopher_metrics + the composite ``gopher_keep``
-    flag — as ONE map-only projection (no joins, no shuffle; Spark's
-    subexpression elimination evaluates the shared tokenization once per
-    row). Column-for-column identical to joining the four operators on
-    doc_id; this is the form a 100 TB filtering pass should run."""
-    exprs = {**_quality_exprs(text_col)}
-    for d in (_token_count_exprs(text_col), _repetition_exprs(text_col),
-              _gopher_exprs(text_col)):
+    flag — as ONE map-only metric projection over staged materialized
+    intermediates (no joins, no shuffle; the token/line/n-gram arrays are
+    computed once per row as real columns — see the module note on why
+    in-lambda references to computed trees are forbidden).
+    Column-for-column identical to joining the four operators on doc_id;
+    this is the form a 100 TB filtering pass should run."""
+    exprs = {**_quality_exprs()}
+    for d in (_token_count_exprs(), _repetition_exprs(), _gopher_exprs()):
         for k, v in d.items():
             exprs.setdefault(k, v)
-    out = _select(docs, id_col, exprs)
-    return out.withColumn("gopher_keep", gopher_keep_col())
+    staged = _stage(docs, id_col, text_col,
+                    lines=True, bigrams=True, grams35=True)
+    return _select(staged, exprs).withColumn("gopher_keep", gopher_keep_col())
 
 
 def gopher_keep_col():

@@ -220,6 +220,37 @@ def test_token_count(spark):
     assert (r["n_tokens"], r["n_distinct"], r["n_chars_text"]) == (5, 4, 10)
 
 
+def test_all_quality_metrics_projection_separation(spark):
+    """all_quality_metrics equals the four-operator join column-for-column,
+    and its staged materialization survives optimization: every heavy
+    sorted array (lines, 2-/3-/5-grams) is produced by exactly one
+    array_sort in the optimized plan, so no HOF lambda body re-evaluates a
+    sort/tokenize subtree per element (an inlined producer referenced via
+    element_at inside F.aggregate is re-evaluated PER ELEMENT — the
+    failure mode that made the fused projection quadratic per doc). The
+    whole report stays map-only: no Exchange, no Python."""
+    df = spark.createDataFrame(
+        [(1, "the cat and the cat and the cat sat\n- b\nx ... y\n"
+             "the be to of and that have with more words here")],
+        "doc_id BIGINT, text STRING")
+    fused = tq.all_quality_metrics(df)
+    optimized = fused._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("array_sort") == 4, optimized
+    physical = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in physical and "Python" not in physical
+
+    joined = (tq.quality_score(df).join(
+        tq.token_count(df).select("doc_id", "n_distinct", "n_chars_text"),
+        "doc_id").join(tq.repetition_metrics(df), "doc_id")
+        .join(tq.gopher_metrics(df), "doc_id")
+        .withColumn("gopher_keep", tq.gopher_keep_col()))
+    f = fused.collect()[0].asDict()
+    j = joined.collect()[0].asDict()
+    assert set(f) == set(j)
+    assert all(f[k] == j[k] for k in f), {k: (f[k], j[k]) for k in f
+                                          if f[k] != j[k]}
+
+
 def test_fingerprint_stability(tiny):
     fp = {r["doc_id"]: r["fp"] for r in tq.fingerprint(tiny).collect()}
     assert fp[1] == fp[2]          # identical docs share fingerprint
