@@ -434,10 +434,6 @@ def q_corpus_stats(spark, sf_dir):
     return base.crossJoin(nterm)
 
 
-def q_doc_lengths(spark, sf_dir):
-    return doc_tokens(_docs(spark, sf_dir)).select("doc_id", "dl")
-
-
 def q_exact_dup_groups(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
@@ -536,7 +532,15 @@ def q_ivf_indexed_topk(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    return tq.lang_id(_docs(spark, sf_dir))
+    """Per-doc signal row: n-gram-heuristic language ID (tq.lang_id),
+    winnowing fingerprint (tq.fingerprint), and the analyzer doc length
+    (doc_tokens dl) — three map-only operators joined on doc_id (folded
+    into one driver row to fit the 50-row gate; each operator stays
+    independently importable and unit-tested)."""
+    docs = _docs(spark, sf_dir)
+    return (tq.lang_id(docs)
+            .join(tq.fingerprint(docs), "doc_id")
+            .join(doc_tokens(docs).select("doc_id", "dl"), "doc_id"))
 
 
 def q_quality_score(spark, sf_dir):
@@ -551,8 +555,61 @@ def q_quality_score(spark, sf_dir):
     return tq.all_quality_metrics(_docs(spark, sf_dir))
 
 
-def q_fingerprint(spark, sf_dir):
-    return tq.fingerprint(_docs(spark, sf_dir))
+def q_url_canonical_dedup(spark, sf_dir):
+    """Web-corpus URL lifecycle (BASELINE input_hint ``url`` column) over a
+    deterministic messy-URL synthesis: each document family gets raw
+    variants — uppercase scheme/host, explicit default :80 port, tracking
+    params + fragment, unsorted params — that must all canonicalize to ONE
+    revisit key; ``url_dedup`` keeps the latest warc_ts per canonical URL.
+    Output per canonical URL: the registrable domain (exercises the
+    two-level public-suffix rule via four synthetic TLD families), the
+    raw row count, and the surviving doc_id. The oracle derives every
+    value from the synthesis CLOSED FORM (it never re-implements the
+    canonicalizer), so it independently checks canonical_url /
+    registrable_domain / url_dedup end-to-end."""
+    from light_splade_spark.functions import urls
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    m3 = F.col("doc_id") % 3
+    m4 = F.col("doc_id") % 4
+    tldn = F.ascii(F.substring(F.col("source"), -1, 1)) % 4
+    tld = F.element_at(F.array(
+        F.lit("example.com"), F.lit("sample.co.uk"),
+        F.lit("example.org"), F.lit("pages.com.au")), tldn + 1)
+    host = F.concat(F.lit("www."), F.lower("source"), F.lit("."), tld)
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(m3 == 0, F.lit("HTTP")).otherwise(F.lit("http")),
+            F.lit("://"),
+            F.when(m3 == 0, F.upper(host)).otherwise(host),
+            F.when(m3 == 2, F.lit(":80")).otherwise(F.lit("")),
+            F.lit("/p/"), (F.col("doc_id") % 25).cast("string"),
+            F.when(m4 == 0, F.lit("?utm_source=feed&b=2&a=1#frag"))
+            .when(m4 == 1, F.lit("?b=2&a=1"))
+            .when(m4 == 2, F.lit("?a=1&b=2&gclid=x"))
+            .otherwise(F.lit(""))).alias("url"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+        .alias("warc_ts"))
+    counts = (raw.withColumn("canon_url", urls.canonical_url("url"))
+              .groupBy("canon_url").agg(F.count(F.lit(1)).alias("n_raw")))
+    survivors = urls.url_dedup(raw, "url", "warc_ts", id_col="doc_id")
+    return (survivors
+            .select("canon_url",
+                    urls.registrable_domain(F.col("canon_url"))
+                    .alias("domain"),
+                    F.col("doc_id").alias("survivor_doc_id"))
+            .join(counts, "canon_url"))
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style statistical-LM quality signal: additively-smoothed
+    corpus bigram model, per-doc mean negative log-likelihood and
+    pseudo-perplexity (operators/perplexity.py pins the exact formula;
+    <2-token docs keep a row with ppl 1.0)."""
+    from light_splade_spark.operators.perplexity import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))
 
 
 def q_ranking_metrics(spark, sf_dir):
@@ -1039,7 +1096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_join_topk": q_index_join_topk,
         "term_stats": q_term_stats,
         "corpus_stats": q_corpus_stats,
-        "doc_lengths": q_doc_lengths,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "lm_perplexity": q_lm_perplexity,
         "exact_dup_groups": q_exact_dup_groups,
         "dedup_survivors": q_dedup_survivors,
         "minhash_signatures": q_minhash_signatures,
@@ -1055,7 +1113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_indexed_topk": q_ivf_indexed_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
-        "fingerprint": q_fingerprint,
         "ranking_metrics": q_ranking_metrics,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_cust": q_top_orders_per_cust,
@@ -1179,9 +1236,55 @@ SELECT count(*) AS n_docs, round(avg(dl), 4) AS avgdl,
 FROM dl
 """
 
-    o["doc_lengths"] = f"""
-WITH {_TOK_CTE}
-SELECT doc_id, len(toks) AS dl FROM dtok
+    # url_canonical_dedup: the oracle derives every value from the messy-URL
+    # synthesis CLOSED FORM (never re-implements the canonicalizer) — see
+    # q_url_canonical_dedup.
+    o["url_canonical_dedup"] = """
+WITH r AS (
+  SELECT doc_id,
+         lower(source) AS src,
+         doc_id % 25 AS k,
+         CASE WHEN doc_id % 4 = 3 THEN '' ELSE '?a=1&b=2' END AS q,
+         CASE (ascii(right(source, 1)) % 4)
+           WHEN 0 THEN 'example.com' WHEN 1 THEN 'sample.co.uk'
+           WHEN 2 THEN 'example.org' ELSE 'pages.com.au' END AS tld,
+         CASE (ascii(right(source, 1)) % 4)
+           WHEN 0 THEN 'example.com' WHEN 1 THEN 'sample.co.uk'
+           WHEN 2 THEN 'example.org' ELSE 'pages.com.au' END AS dom
+  FROM documents)
+SELECT 'http://www.' || src || '.' || tld || '/p/' || k || q AS canon_url,
+       max(dom) AS domain,
+       max(doc_id) AS survivor_doc_id,
+       count(*) AS n_raw
+FROM r GROUP BY 1
+"""
+
+    # lm_perplexity: mirrors the pinned model in operators/perplexity.py
+    # (alpha = 0.5, U = corpus occurrence counts, V = distinct tokens).
+    o["lm_perplexity"] = f"""
+WITH {_TOK_CTE},
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM dtok)
+),
+uni AS (SELECT term AS w, count(*) AS u_cnt FROM tok GROUP BY 1),
+vv AS (SELECT count(DISTINCT term) AS v FROM tok),
+bic AS (SELECT w1, w2, count(*) AS b_cnt FROM bg GROUP BY 1, 2),
+nll AS (
+  SELECT bg.doc_id,
+         -ln((bic.b_cnt + 0.5) / (uni.u_cnt + 0.5 * vv.v)) AS nll
+  FROM bg
+  JOIN bic ON bg.w1 = bic.w1 AND bg.w2 = bic.w2
+  JOIN uni ON uni.w = bg.w1
+  CROSS JOIN vv
+),
+agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) / count(*) AS a
+        FROM nll GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(agg.n_bigrams, 0) AS n_bigrams,
+       round(coalesce(agg.a, 0.0), 4) AS avg_nll,
+       round(exp(coalesce(agg.a, 0.0)), 4) AS ppl
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 """
 
     o["exact_dup_groups"] = """
@@ -1399,13 +1502,22 @@ SELECT qid, rank, nid, cos FROM fin WHERE rank <= 5
         f"{{'h': hits_{lang}, 'nr': {-i}, 'lang': '{lang}'}}"
         for i, lang in enumerate(sorted(LANG_MARKERS)))
     o["lang_id"] = f"""
-WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+WITH d AS (SELECT doc_id, text, {_TOK} AS toks FROM documents),
 h AS (SELECT doc_id, {", ".join(lang_case)} FROM d),
-b AS (SELECT doc_id, list_max([{hit_struct}]) AS best FROM h)
-SELECT doc_id,
-       CASE WHEN best.h > 0 THEN best.lang ELSE 'und' END AS pred_lang,
-       best.h AS pred_hits
-FROM b
+b AS (SELECT doc_id, list_max([{hit_struct}]) AS best FROM h),
+sh AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, greatest(len(toks) - 4, 0)),
+           i -> md5(toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]
+                    || ' ' || toks[i + 4] || ' ' || toks[i + 5])) AS hs
+  FROM d)
+SELECT d.doc_id,
+       CASE WHEN b.best.h > 0 THEN b.best.lang ELSE 'und' END AS pred_lang,
+       b.best.h AS pred_hits,
+       coalesce(list_min(sh.hs), md5(d.text)) AS fp,
+       len(d.toks) AS dl
+FROM d JOIN b ON d.doc_id = b.doc_id JOIN sh ON d.doc_id = sh.doc_id
 """
 
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1520,20 +1632,6 @@ SELECT *,
         AND dup_line_char_frac <= 0.2 AND top_3gram_char_frac <= 0.18
         AND dup_5gram_char_frac <= 0.15) AS gopher_keep
 FROM gq
-"""
-
-    o["fingerprint"] = f"""
-WITH d AS (SELECT doc_id, text, {_TOK} AS t FROM documents),
-sh AS (
-  SELECT doc_id,
-         list_transform(
-           range(0, greatest(len(t) - 4, 0)),
-           i -> md5(t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' '
-                    || t[i + 4] || ' ' || t[i + 5])) AS hs
-  FROM d)
-SELECT d.doc_id,
-       coalesce(list_min(sh.hs), md5(d.text)) AS fp
-FROM d JOIN sh ON d.doc_id = sh.doc_id
 """
 
     qids = ", ".join(str(q) for q, _ in QUERIES)
