@@ -20,6 +20,7 @@ from light_splade_spark.fixtures import DOCUMENTS_QUERY_SET
 from light_splade_spark.functions import text_quality as tq
 from light_splade_spark.functions.analyzers import doc_tokens
 from light_splade_spark.operators import dedup, metrics, similarity
+from light_splade_spark.operators.sampling import sample_unit_sql as _sample_unit_sql
 from light_splade_spark.plans import bm25_sql
 
 QUERIES = DOCUMENTS_QUERY_SET
@@ -1063,10 +1064,12 @@ def q_pipeline_attrition(spark, sf_dir):
     """Cleaning-pipeline attrition report: input -> corpus-level
     boilerplate-line removal (C4/CCNet-style line_dedup: a line in >1
     distinct docs is removed everywhere) -> quality-pass on the CLEANED
-    text -> exact-dedup survivors, as one auditable row with line-level
-    accounting."""
+    text -> exact-dedup survivors -> deterministic per-language
+    stratified sample (en 0.5, zh 0.25, default 0.1 — the temperature
+    curation stage), as one auditable row with line-level accounting."""
     from light_splade_spark.functions.text_quality import quality_score
     from light_splade_spark.operators.dedup import exact_dedup, line_dedup
+    from light_splade_spark.operators.sampling import stratified_sample
 
     docs = _docs(spark, sf_dir)
     cleaned = line_dedup(docs, max_occurrences=1)
@@ -1077,10 +1080,13 @@ def q_pipeline_attrition(spark, sf_dir):
     q = quality_score(cleaned).where("keep").select("doc_id")
     kept = cleaned.join(q, cleaned.doc_id == q.doc_id, "left_semi")
     deduped = exact_dedup(kept)
+    sampled = stratified_sample(deduped, {"en": 0.5, "zh": 0.25},
+                                strata_col="lang", default_fraction=0.1)
     return (docs.agg(F.count(F.lit(1)).alias("n_input"))
             .crossJoin(lstats)
             .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_quality")))
-            .crossJoin(deduped.agg(F.count(F.lit(1)).alias("n_distinct"))))
+            .crossJoin(deduped.agg(F.count(F.lit(1)).alias("n_distinct")))
+            .crossJoin(sampled.agg(F.count(F.lit(1)).alias("n_sampled"))))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1759,22 +1765,28 @@ reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
                count(*) AS n_kept
         FROM keptl GROUP BY doc_id),
 cleaned AS (
-  SELECT d.doc_id, coalesce(r.text, '') AS text
+  SELECT d.doc_id, d.lang, coalesce(r.text, '') AS text
   FROM documents d LEFT JOIN reb r USING (doc_id)),
-toks AS (SELECT doc_id, text, {_TOK} AS t FROM cleaned),
+toks AS (SELECT doc_id, lang, text, {_TOK} AS t FROM cleaned),
 q AS (
-  SELECT doc_id, text FROM toks
+  SELECT doc_id, lang, text FROM toks
   WHERE len(t) >= 10
     AND round(len(list_distinct(t)) * 1.0 / len(t), 4) >= 0.1
     AND round(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 4)
-        BETWEEN 2 AND 12)
+        BETWEEN 2 AND 12),
+dd AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+surv AS (SELECT q.doc_id, q.lang FROM q JOIN dd ON q.doc_id = dd.doc_id),
+samp AS (
+  SELECT doc_id FROM surv
+  WHERE {_sample_unit_sql("doc_id")}
+        < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END)
 SELECT (SELECT count(*) FROM documents) AS n_input,
        (SELECT count(*) FROM ln) AS n_lines_total,
        (SELECT count(*) FROM ln) - (SELECT count(*) FROM keptl)
          AS n_lines_removed,
        (SELECT count(*) FROM q) AS n_quality,
-       (SELECT count(*) FROM (SELECT min(doc_id) FROM q GROUP BY md5(text)))
-         AS n_distinct
+       (SELECT count(*) FROM dd) AS n_distinct,
+       (SELECT count(*) FROM samp) AS n_sampled
 """
 
     o["events_json"] = """

@@ -10,6 +10,9 @@ Stages (all shuffle-aware, all oracle-tested individually):
   4. near dedup       (MinHash-LSH candidates -> verified Jaccard ->
                        connected components -> keep cluster keeper)
   5. fingerprint      (winnowing-style min-shingle-hash column attached)
+  6. stratified sample (optional, operators.sampling.stratified_sample:
+                       deterministic per-stratum hash sampling — the
+                       per-language/domain "temperature" curation stage)
 
 Returns the cleaned DataFrame plus a per-stage count report (the lineage a
 data pipeline needs to audit its attrition).
@@ -37,6 +40,9 @@ def clean_corpus(
     jaccard_threshold: float = 0.8,
     shingle_n: int = 3,
     dedup_lines: bool = False,
+    sample_fractions: dict[str, float] | None = None,
+    sample_strata_col: str = "lang",
+    sample_default_fraction: float = 0.0,
 ) -> tuple[DataFrame, dict]:
     report: dict[str, int] = {"input": docs.count()}
 
@@ -78,4 +84,11 @@ def clean_corpus(
     out = docs3.join(fingerprint(docs3, id_col, text_col)
                      .withColumnRenamed("doc_id", "__fp_id"),
                      docs3[id_col] == F.col("__fp_id")).drop("__fp_id")
+
+    if sample_fractions is not None:
+        from light_splade_spark.operators.sampling import stratified_sample
+        out = stratified_sample(out, sample_fractions,
+                                strata_col=sample_strata_col, id_col=id_col,
+                                default_fraction=sample_default_fraction)
+        report["after_sample"] = out.count()
     return out, report
