@@ -119,7 +119,11 @@ def run_suite(master: str, shuffle_partitions: int = 32) -> dict:
     q["exact_dedup"], _ = _timed(lambda: _noop(dedup.exact_dedup(docs)))
     q["text_quality"], _ = _timed(lambda: _noop(
         entry.q_quality_score(spark, SF_DIR)))
-    q["lang_id"], _ = _timed(lambda: _noop(entry.q_lang_id(spark, SF_DIR)))
+    # the lang_id OPERATOR (map-only), not entry.q_lang_id — the gate query
+    # additionally joins fingerprint + doc-length columns to fit the
+    # 50-row driver gate, which is consolidation overhead, not operator cost
+    from light_splade_spark.functions import text_quality as _tq
+    q["lang_id"], _ = _timed(lambda: _noop(_tq.lang_id(docs)))
     q["cosine_topk"], _ = _timed(lambda: _noop(
         similarity.brute_force_topk(emb, list(range(10)), k=5)))
     q["ann_lsh"], _ = _timed(lambda: _noop(

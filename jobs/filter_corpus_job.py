@@ -4,12 +4,18 @@
         --input /path/to/documents.parquet \
         --output /path/to/filtered \
         [--id-col doc_id --text-col text] \
-        [--emit-rejected] [--metrics-out /path/metrics.parquet]
+        [--emit-rejected] [--metrics-out /path/metrics.parquet] \
+        [--sample en=0.5,zh=0.25 --sample-strata-col lang \
+         --sample-default 0.0]
 
 The training-data-pipeline front door: computes the full per-doc quality
 report (quality_score + repetition_metrics + gopher_metrics, all map-only
 JVM expressions — functions/text_quality.py) once, then splits the corpus
 on the composite Gopher keep flag. Writes:
+
+With --sample, the kept split is further reduced by the deterministic
+per-stratum hash sample (operators/sampling.py — the temperature
+curation stage); the summary line reports the post-sample count.
 
 - <output>/kept/       — surviving docs (original columns)
 - <output>/rejected/   — dropped docs (only with --emit-rejected)
@@ -51,10 +57,10 @@ GOPHER_RULES: list[tuple[str, str]] = [
 
 
 def metric_report(docs, id_col: str = "doc_id", text_col: str = "text"):
-    """Per-doc metric row (tq.all_quality_metrics — ONE map-only projection,
-    no doc_id joins, tokenization shared across metrics), plus one boolean
-    column per Gopher rule; its AND-fold equals the composite gopher_keep
-    the projection already computed."""
+    """Per-doc metric row (tq.all_quality_metrics — map-only metric
+    projection over staged materialized token/line/n-gram columns, no
+    doc_id joins), plus one boolean column per Gopher rule; its AND-fold
+    equals the composite gopher_keep the projection already computed."""
     rep = tq.all_quality_metrics(docs, id_col, text_col)
     for name, pred in GOPHER_RULES:
         rep = rep.withColumn(f"pass_{name}", F.expr(pred))
@@ -69,6 +75,10 @@ def main() -> None:
     p.add_argument("--text-col", default="text")
     p.add_argument("--emit-rejected", action="store_true")
     p.add_argument("--metrics-out", default=None)
+    p.add_argument("--sample", default=None,
+                   help="per-stratum keep fractions, e.g. en=0.5,zh=0.25")
+    p.add_argument("--sample-strata-col", default="lang")
+    p.add_argument("--sample-default", type=float, default=0.0)
     args = p.parse_args()
 
     spark = SparkSession.builder.appName("lss-filter-corpus").getOrCreate()
@@ -86,6 +96,17 @@ def main() -> None:
     keep_ids = rep.where("gopher_keep").select("doc_id")
     kept = docs.join(keep_ids.withColumnRenamed("doc_id", args.id_col),
                      args.id_col, "left_semi")
+    n_sampled = None
+    if args.sample:
+        from light_splade_spark.operators.sampling import stratified_sample
+        fractions = {k: float(v) for k, v in
+                     (kv.split("=", 1) for kv in args.sample.split(","))}
+        kept = stratified_sample(kept, fractions,
+                                 strata_col=args.sample_strata_col,
+                                 id_col=args.id_col,
+                                 default_fraction=args.sample_default)
+        kept = kept.persist()
+        n_sampled = kept.count()
     kept.write.mode("overwrite").parquet(f"{args.output}/kept")
     if args.emit_rejected:
         docs.join(keep_ids.withColumnRenamed("doc_id", args.id_col),
@@ -102,6 +123,8 @@ def main() -> None:
              .alias(f"fail_{n}") for n, _ in GOPHER_RULES]
     row = rep.agg(*aggs).collect()[0].asDict()
     row["keep_rate"] = round(row["kept"] / max(row["total"], 1), 4)
+    if n_sampled is not None:
+        row["sampled"] = n_sampled
     print(json.dumps(row))
 
 

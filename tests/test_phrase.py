@@ -134,3 +134,40 @@ def test_filter_job_metric_report(spark, docs):
         .where(FF.col("gopher_keep") != FF.col("lib_keep")).count()
     assert bad2 == 0
     rep.unpersist()
+
+
+def test_filter_job_cli_sample(spark, docs, tmp_path, monkeypatch, capsys):
+    """filter_corpus_job --sample: the kept split is further reduced by the
+    deterministic stratified sample; the written parquet and the summary
+    line agree with the library operator applied to the gopher-kept set."""
+    import json
+    import sys
+
+    import jobs.filter_corpus_job as job
+    from light_splade_spark.functions import text_quality as tq
+    from light_splade_spark.operators.sampling import stratified_sample
+
+    inp = str(tmp_path / "docs.parquet")
+    docs.withColumn("lang", F.when(F.col("doc_id") % 2 == 0, "en")
+                    .otherwise("zh")).write.parquet(inp)
+    out = str(tmp_path / "out")
+
+    monkeypatch.setattr(sys, "argv", [
+        "filter_corpus_job.py", "--input", inp, "--output", out,
+        "--sample", "en=0.6,zh=0.2"])
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
+    job.main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    src = spark.read.parquet(inp)
+    gopher_kept = src.join(
+        tq.all_quality_metrics(src).where("gopher_keep").select("doc_id"),
+        "doc_id", "left_semi")
+    want = {r["doc_id"] for r in
+            stratified_sample(gopher_kept, {"en": 0.6, "zh": 0.2})
+            .select("doc_id").collect()}
+    got = {r["doc_id"] for r in
+           spark.read.parquet(f"{out}/kept").select("doc_id").collect()}
+    assert got == want
+    assert summary["sampled"] == len(want)
+    assert summary["kept"] == gopher_kept.count()
