@@ -18,7 +18,10 @@ per-stratum hash sample (operators/sampling.py — the temperature
 curation stage); the summary line reports the post-sample count.
 
 - <output>/kept/       — surviving docs (original columns)
-- <output>/rejected/   — dropped docs (only with --emit-rejected)
+- <output>/rejected/   — everything NOT in kept/ (only with
+                         --emit-rejected; with --sample this includes the
+                         sampled-out docs, so kept + rejected always
+                         reconstructs the input)
 - --metrics-out        — the full per-doc metric report (optional; this
                          is the audit trail a 100 TB filtering run needs)
 
@@ -109,8 +112,12 @@ def main() -> None:
         n_sampled = kept.count()
     kept.write.mode("overwrite").parquet(f"{args.output}/kept")
     if args.emit_rejected:
-        docs.join(keep_ids.withColumnRenamed("doc_id", args.id_col),
-                  args.id_col, "left_anti") \
+        # rejected = input minus the FINAL kept split, so kept+rejected
+        # always reconstructs the input: with --sample, sampled-out docs
+        # land in rejected/ rather than vanishing from both outputs
+        final_ids = spark.read.parquet(f"{args.output}/kept") \
+            .select(args.id_col)
+        docs.join(final_ids, args.id_col, "left_anti") \
             .write.mode("overwrite").parquet(f"{args.output}/rejected")
 
     # one distributed aggregation pass for the whole summary

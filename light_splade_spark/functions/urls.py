@@ -93,11 +93,11 @@ def registrable_domain(url: Column | str) -> Column:
     """Registrable domain of a URL or bare host: the last two host labels,
     or three when the last two form a pinned two-level public suffix
     (TWO_LEVEL_SUFFIXES — documented approximation of the PSL). Ports
-    are stripped; a host with fewer than two labels is returned as-is."""
+    are stripped; a host with fewer than two labels is returned as-is.
+    Scheme-less inputs get the same authority cut (everything before the
+    first '/', '?' or '#'), so 'sub.example.com/page' is host-parsed."""
     u = F.trim(F.col(url) if isinstance(url, str) else url)
-    host0 = F.when(u.rlike(_SCHEME_RE),
-                   _authority(F.regexp_replace(u, _SCHEME_RE, ""))) \
-        .otherwise(u)
+    host0 = _authority(F.regexp_replace(u, _SCHEME_RE, ""))
     host = F.lower(F.regexp_replace(host0, r":[0-9]+$", ""))
     labels = F.split(host, r"\.")
     n = F.size(labels)
@@ -113,16 +113,29 @@ def url_dedup(pages: DataFrame, url_col: str = "url",
               keep_canon_col: str = "canon_url") -> DataFrame:
     """Common-Crawl revisit dedup: canonicalize ``url_col`` and keep, per
     canonical URL, the latest row by ``ts_col`` (ties broken by the
-    largest ``id_col`` when given, else by raw URL descending, so the
-    survivor is deterministic). Returns the surviving rows plus the
-    canonical-URL column.
+    largest ``id_col`` when given, else by raw URL descending — pass
+    ``id_col`` for full determinism: without it, rows that tie on BOTH
+    ts and raw url keep an arbitrary member of the tie group). Returns
+    the surviving rows plus the canonical-URL column.
 
-    Scale: one window shuffle keyed by the canonical URL — an
-    md5-uniform key space (revisit counts per URL are small), so no
-    skew handling is needed; the filter is rank==1, never a collect."""
+    Rows whose url is NULL or has no ``scheme://`` prefix are NOT
+    revisit candidates — they pass through untouched (canon_url NULL).
+    Without this, every null/unparseable url would collapse into one
+    partition-skewing group and all but one such document would be
+    silently dropped.
+
+    Scale: one window shuffle keyed by the canonical URL over the
+    parseable rows only — an md5-uniform key space (revisit counts per
+    URL are small), so no skew handling is needed; the filter is
+    rank==1, never a collect."""
     tie = F.col(id_col).desc() if id_col else F.col(url_col).desc()
-    with_canon = pages.withColumn(keep_canon_col, canonical_url(url_col))
+    parseable = F.col(url_col).isNotNull() & \
+        F.trim(F.col(url_col)).rlike(_SCHEME_RE)
+    with_canon = pages.withColumn(
+        keep_canon_col,
+        F.when(parseable, canonical_url(url_col)))
     w = Window.partitionBy(keep_canon_col).orderBy(F.col(ts_col).desc(), tie)
-    return (with_canon
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1).drop("__rn"))
+    deduped = (with_canon.where(parseable)
+               .withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") == 1).drop("__rn"))
+    return deduped.unionByName(with_canon.where(~parseable))

@@ -25,8 +25,9 @@ stream and one groupBy(doc_id) folds it back. The count tables are
 vocabulary-sized (far too big to broadcast at web scale — they stay
 distributed sort-merge joins); head-token skew on the w1 join (stopwords
 dominate) is the standard AQE skew-join case and the join key is still
-millions-deep, never a single value. V is a scalar aggregate (one
-driver-side number, allowed by the repo's collect policy).
+millions-deep, never a single value. V is a lazy broadcast 1-row
+aggregate (the oracle's CROSS JOIN form) — constructing the DataFrame
+triggers no Spark job.
 """
 
 from __future__ import annotations
@@ -62,17 +63,21 @@ def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
 
     unis = toked.select(F.explode(toks).alias("w"))
     uni_counts = unis.groupBy("w").agg(F.count(F.lit(1)).alias("u_cnt"))
-    v_distinct = unis.select(F.countDistinct("w").alias("v")) \
-        .collect()[0]["v"] or 0
+    # V as a LAZY broadcast 1-row aggregate (the oracle's CROSS JOIN vv):
+    # V derives from uni_counts' own groups, so Spark computes it from the
+    # same aggregation lineage — no eager collect, no extra corpus scan at
+    # construction time
+    vv = uni_counts.agg(F.count(F.lit(1)).alias("__v"))
     bi_counts = pairs.groupBy("w1", "w2") \
         .agg(F.count(F.lit(1)).alias("b_cnt"))
 
     scored = (pairs
               .join(bi_counts, ["w1", "w2"])
               .join(uni_counts.withColumnRenamed("w", "w1"), "w1")
+              .crossJoin(F.broadcast(vv))
               .select("doc_id", (
                   -F.log((F.col("b_cnt") + F.lit(alpha))
-                         / (F.col("u_cnt") + F.lit(alpha * v_distinct))))
+                         / (F.col("u_cnt") + F.lit(alpha) * F.col("__v"))))
                   .alias("nll")))
     per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),

@@ -44,11 +44,19 @@ def stratified_sample(docs: DataFrame, fractions: dict[str, float],
     """Keep each row iff sample_unit(id) < fractions[stratum] (strata not
     in ``fractions`` use ``default_fraction``). Expected kept fraction per
     stratum equals its configured rate; selection is deterministic and
-    independent across rows. Map-only — no shuffle, no Python."""
-    rate = F.lit(float(default_fraction))
-    for k in sorted(fractions):
-        rate = F.when(F.col(strata_col) == k,
-                      F.lit(float(fractions[k]))).otherwise(rate)
+    independent across rows. Map-only — no shuffle, no Python.
+
+    The rate lookup is a single map literal (flat expression regardless
+    of strata count — a per-domain dict with 10k entries must not become
+    a 10k-deep CASE chain that blows codegen limits)."""
+    if fractions:
+        kv = []
+        for k in sorted(fractions):
+            kv += [F.lit(k), F.lit(float(fractions[k]))]
+        rate = F.coalesce(F.element_at(F.create_map(*kv), F.col(strata_col)),
+                          F.lit(float(default_fraction)))
+    else:
+        rate = F.lit(float(default_fraction))
     return docs.where(sample_unit(id_col, salt) < rate)
 
 

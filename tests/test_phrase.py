@@ -154,7 +154,7 @@ def test_filter_job_cli_sample(spark, docs, tmp_path, monkeypatch, capsys):
 
     monkeypatch.setattr(sys, "argv", [
         "filter_corpus_job.py", "--input", inp, "--output", out,
-        "--sample", "en=0.6,zh=0.2"])
+        "--sample", "en=0.6,zh=0.2", "--emit-rejected"])
     monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
     job.main()
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -171,3 +171,9 @@ def test_filter_job_cli_sample(spark, docs, tmp_path, monkeypatch, capsys):
     assert got == want
     assert summary["sampled"] == len(want)
     assert summary["kept"] == gopher_kept.count()
+    # kept + rejected reconstructs the input even under --sample
+    # (sampled-out docs land in rejected/, never in neither split)
+    rej = {r["doc_id"] for r in
+           spark.read.parquet(f"{out}/rejected").select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in src.select("doc_id").collect()}
+    assert got | rej == all_ids and not (got & rej)

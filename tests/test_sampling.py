@@ -66,6 +66,31 @@ def test_deterministic_and_growth_stable(spark, docs):
     assert ids1 == {i for i in ids3 if i < 99_000}
 
 
+def test_default_fraction_and_null_stratum(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "xx"), (3, None)], "doc_id BIGINT, lang STRING")
+    # default 1.0: unknown and NULL strata both keep everything
+    kept = {r["doc_id"] for r in
+            stratified_sample(df, {"en": 1.0}, default_fraction=1.0)
+            .select("doc_id").collect()}
+    assert kept == {1, 2, 3}
+    # default 0.0: only the configured stratum survives
+    kept0 = {r["doc_id"] for r in
+             stratified_sample(df, {"en": 1.0}).select("doc_id").collect()}
+    assert kept0 == {1}
+
+
+def test_many_strata_stays_flat(spark, docs):
+    """A per-domain-sized fractions dict must stay a single map-literal
+    lookup (never a 10k-deep CASE chain that breaks codegen)."""
+    big = {f"s{i}": 0.5 for i in range(5000)}
+    big["en"] = 1.0
+    out = stratified_sample(docs, big, default_fraction=0.0)
+    assert out.where("lang = 'en'").count() == 1000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
 def test_map_only_plan(spark, docs):
     plan = stratified_sample(docs, {"en": 0.5}) \
         ._jdf.queryExecution().executedPlan().toString()

@@ -54,6 +54,9 @@ def test_registrable_domain(spark):
         ("sub.pages.com.au", "pages.com.au"),
         ("localhost", "localhost"),
         ("WWW.Example.ORG", "example.org"),
+        # scheme-less inputs get the same authority cut
+        ("sub.example.com/page", "example.com"),
+        ("example.com:8080/x", "example.com"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u STRING")
     got = [r["d"] for r in
@@ -89,3 +92,25 @@ def test_url_dedup_keeps_latest(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "Python" not in final
     assert final.count("Exchange") == 1, final
+
+
+def test_url_dedup_null_and_unparseable_pass_through(spark):
+    """NULL and scheme-less urls are not revisit candidates: every such
+    row survives untouched (canon_url NULL) instead of collapsing into
+    one skew group with a single survivor."""
+    ts = datetime.datetime
+    rows = [
+        (1, None, ts(2024, 1, 1)),
+        (2, None, ts(2024, 1, 2)),
+        (3, "not a url", ts(2024, 1, 1)),
+        (4, "not a url", ts(2024, 1, 2)),
+        (5, "http://a.b/x", ts(2024, 1, 1)),
+        (6, "http://a.b/x", ts(2024, 1, 2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, url STRING, warc_ts TIMESTAMP")
+    out = urls.url_dedup(df, "url", "warc_ts", id_col="doc_id").collect()
+    got = {r["doc_id"]: r["canon_url"] for r in out}
+    assert set(got) == {1, 2, 3, 4, 6}      # only the real revisit deduped
+    assert got[6] == "http://a.b/x"
+    assert all(got[d] is None for d in (1, 2, 3, 4))
