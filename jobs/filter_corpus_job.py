@@ -102,7 +102,7 @@ def main() -> None:
     n_sampled = None
     if args.sample:
         from light_splade_spark.operators.sampling import stratified_sample
-        fractions = {k: float(v) for k, v in
+        fractions = {k.strip(): float(v) for k, v in
                      (kv.split("=", 1) for kv in args.sample.split(","))}
         kept = stratified_sample(kept, fractions,
                                  strata_col=args.sample_strata_col,

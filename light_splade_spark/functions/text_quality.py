@@ -360,10 +360,13 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 n: int = 5) -> DataFrame:
     """(doc_id, fp) — winnowing-style document fingerprint: the minimum md5
     over word 5-gram shingles (rolling-hash analog, order-invariant to
-    boilerplate position; docs shorter than n fall back to md5(text))."""
-    sh = shingles_col(text_col, n)
+    boilerplate position; docs shorter than n fall back to md5(text)).
+    Tokens are staged as a real column before the shingle lambda touches
+    them (the in-lambda rule — see the module note)."""
+    staged = _stage(docs, id_col, text_col)
+    sh = shingles_col(F.col(_TOKS), n)
     min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.coalesce(min_sh, F.md5(text_col)).alias("fp"),
+    return staged.select(
+        "doc_id",
+        F.coalesce(min_sh, F.md5(F.col(_TEXT))).alias("fp"),
     )

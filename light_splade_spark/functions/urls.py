@@ -17,10 +17,14 @@ from pyspark.sql.window import Window
 
 # Query parameters dropped during canonicalization: advertising/analytics
 # click identifiers that never change page content (public convention;
-# any key starting with "utm_" is dropped too).
+# any key starting with "utm_" is dropped too). Deliberately NOT in the
+# list: bare "ref" — on common sites (?ref=<branch>, ?ref=<variant>) it
+# is content-selecting, and dropping it would make url_dedup merge
+# genuinely distinct documents; only the Twitter-style "ref_src"
+# attribution key is safe to strip.
 TRACKING_PARAMS = [
     "gclid", "fbclid", "msclkid", "dclid", "mc_cid", "mc_eid", "igshid",
-    "ref", "ref_src", "spm",
+    "ref_src", "spm",
 ]
 
 # Pinned two-level public suffixes for the registrable-domain heuristic.

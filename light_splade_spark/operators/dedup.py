@@ -109,9 +109,14 @@ LSH_BAND_SIZE = 4        # rows per band -> 4 bands
 SHINGLE_N = 3
 
 
-def shingles_col(text_col: str, n: int = SHINGLE_N):
-    """Distinct word n-gram shingles as an array column (JVM-side)."""
-    toks = tokens_col(text_col)
+def shingles_col(toks, n: int = SHINGLE_N):
+    """Distinct word n-gram shingles (JVM-side) from an
+    ALREADY-MATERIALIZED token-array attribute. ``toks`` must be a real
+    column, never a computed tree: the sliding-window lambda references
+    it per index, and an inlined tokenize subtree would re-evaluate per
+    shingle — O(n_tokens²) per doc (the in-lambda rule documented in
+    functions/text_quality.py and index/build.py). Use
+    ``shingled(docs, ...)`` to stage tokens and shingle in one step."""
     # transform over sliding windows: index i -> tokens[i..i+n-1] joined
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
@@ -119,6 +124,16 @@ def shingles_col(text_col: str, n: int = SHINGLE_N):
     )
     empty = F.array().cast("array<string>")
     return F.array_distinct(F.when(F.size(toks) >= n, sh).otherwise(empty))
+
+
+def shingled(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, sh) — one row per distinct word n-gram shingle, with the
+    token array staged as its own projection first (in-lambda rule)."""
+    staged = docs.select(F.col(id_col).alias("doc_id"),
+                         tokens_col(text_col).alias("__toks"))
+    return staged.select(
+        "doc_id", F.explode(shingles_col(F.col("__toks"), n)).alias("sh"))
 
 
 def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
@@ -130,10 +145,7 @@ def minhash_signature(docs: DataFrame, id_col: str = "doc_id",
     bit-identical in DuckDB, giving the oracle. One explode + one groupBy:
     shuffle size = shingles * 1 row, aggregated map-side first.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_col(text_col, shingle_n)).alias("sh"),
-    )
+    sh = shingled(docs, id_col, text_col, shingle_n)
     aggs = [
         F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh_{i}")
         for i in range(k)
@@ -225,10 +237,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     no longer counted); pass ``max_shingle_df=None`` explicitly to match an
     uncapped oracle.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_col(text_col, n)).alias("sh"),
-    )
+    sh = shingled(docs, id_col, text_col, n)
     if max_shingle_df is not None:
         # corpus-level df, computed BEFORE the candidate restriction: the
         # stop-shingle set is a property of the corpus, not of the caller's

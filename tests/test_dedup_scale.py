@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from light_splade_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    shingles_col,
+    shingled,
 )
 
 
@@ -30,7 +30,7 @@ def test_jaccard_shingle_df_cap_neutralizes_hot_shingle(spark):
     docs = _skew_docs(spark)
     # with the default cap, the universal shingle is dropped BEFORE the
     # self-join: the join input contains no row for it
-    sh = docs.select("doc_id", F.explode(shingles_col("text", 1)).alias("sh"))
+    sh = shingled(docs, n=1)
     hot_df = sh.where(F.col("sh") == "common").count()
     assert hot_df == 400  # the skew is real
     pairs = ngram_jaccard_pairs(docs, n=1, threshold=0.9, max_shingle_df=100)

@@ -251,6 +251,20 @@ def test_all_quality_metrics_projection_separation(spark):
                                           if f[k] != j[k]}
 
 
+def test_shingle_tokens_staged(spark):
+    """fingerprint and minhash_signature stage the token array before the
+    shingle lambda references it: tokenize appears exactly once in the
+    optimized plan (an inlined tokens_col tree inside the sliding-window
+    lambda re-evaluates per shingle index — O(n_tokens^2) per doc)."""
+    from light_splade_spark.operators.dedup import minhash_signature
+
+    df = spark.createDataFrame([(1, "a b c d e f g h")],
+                               "doc_id BIGINT, text STRING")
+    for op_df in (tq.fingerprint(df), minhash_signature(df)):
+        optimized = op_df._jdf.queryExecution().optimizedPlan().toString()
+        assert optimized.count("split(") == 1, optimized
+
+
 def test_fingerprint_stability(tiny):
     fp = {r["doc_id"]: r["fp"] for r in tq.fingerprint(tiny).collect()}
     assert fp[1] == fp[2]          # identical docs share fingerprint

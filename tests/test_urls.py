@@ -34,6 +34,8 @@ def test_canonical_url_golden(spark):
         ("http://a.b/p?b=2&a=1", "http://a.b/p?a=1&b=2"),
         # all params tracking -> no '?'
         ("http://a.b/p?utm_medium=m&fbclid=z", "http://a.b/p"),
+        # bare 'ref' is content-selecting on common sites — preserved
+        ("http://a.b/f?ref=main&ref_src=tw", "http://a.b/f?ref=main"),
         # bare-root slash dropped; deeper trailing slash preserved
         ("http://a.b/", "http://a.b"),
         ("http://a.b/p/", "http://a.b/p/"),
