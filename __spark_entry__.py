@@ -595,12 +595,20 @@ def q_url_canonical_dedup(spark, sf_dir):
     counts = (raw.withColumn("canon_url", urls.canonical_url("url"))
               .groupBy("canon_url").agg(F.count(F.lit(1)).alias("n_raw")))
     survivors = urls.url_dedup(raw, "url", "warc_ts", id_col="doc_id")
-    return (survivors
-            .select("canon_url",
-                    urls.registrable_domain(F.col("canon_url"))
-                    .alias("domain"),
-                    F.col("doc_id").alias("survivor_doc_id"))
-            .join(counts, "canon_url"))
+    named = survivors.select(
+        "canon_url",
+        urls.registrable_domain(F.col("canon_url")).alias("domain"),
+        F.col("doc_id").alias("survivor_doc_id"))
+    # cluster-preserving dense docID assignment over the dedup survivors
+    # (operators/docid.py): same-site pages get adjacent ids so posting
+    # d-gaps shrink; the oracle mirrors it as ONE global window because
+    # the bucketed construction equals the total order
+    # (substr(md5(site),1,4), site, canon_url, survivor_doc_id)
+    from light_splade_spark.operators.docid import assign_doc_ids
+    remapped = assign_doc_ids(
+        named, order_cols=("canon_url", "survivor_doc_id"),
+        site_col="domain")
+    return remapped.join(counts, "canon_url")
 
 
 def q_lm_perplexity(spark, sf_dir):
@@ -1258,11 +1266,18 @@ WITH r AS (
            WHEN 0 THEN 'example.com' WHEN 1 THEN 'sample.co.uk'
            WHEN 2 THEN 'example.org' ELSE 'pages.com.au' END AS dom
   FROM documents)
-SELECT 'http://www.' || src || '.' || tld || '/p/' || k || q AS canon_url,
-       max(dom) AS domain,
-       max(doc_id) AS survivor_doc_id,
-       count(*) AS n_raw
-FROM r GROUP BY 1
+, surv AS (
+  SELECT 'http://www.' || src || '.' || tld || '/p/' || k || q AS canon_url,
+         max(dom) AS domain,
+         max(doc_id) AS survivor_doc_id,
+         count(*) AS n_raw
+  FROM r GROUP BY 1)
+SELECT canon_url, domain, survivor_doc_id,
+       row_number() OVER (
+         ORDER BY substr(md5(domain), 1, 4), domain,
+                  canon_url, survivor_doc_id) - 1 AS ordered_id,
+       n_raw
+FROM surv
 """
 
     # lm_perplexity: mirrors the pinned model in operators/perplexity.py

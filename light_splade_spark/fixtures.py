@@ -40,6 +40,9 @@ def make_web_pages(
     mean_len: int = 60,
     seed: int = SEED,
     n_partitions: int = 8,
+    n_sites: int = 1,
+    site_topic_frac: float = 0.0,
+    topic_width: int = 400,
 ) -> DataFrame:
     """web_pages(url, warc_ts, html BINARY, text, lang) — deterministic.
 
@@ -47,6 +50,15 @@ def make_web_pages(
     handful of head terms appear in nearly every doc — the skew the salted
     index build must survive. html = template + utf-8 text bytes, so
     ``extract_text_udf(html) == text`` byte-for-byte.
+
+    ``n_sites > 1`` turns on the realistic multi-site shape: each doc is
+    assigned a random site (so ARRIVAL order is site-random — the honest
+    baseline for docID-assignment experiments) and draws
+    ``site_topic_frac`` of its terms from the site's own Zipfian topic
+    slice of ``topic_width`` consecutive vocab ranks (pages on one site
+    share template/topic vocabulary — the locality that URL-ordered docID
+    assignment converts into small posting d-gaps). Defaults preserve the
+    original single-site output byte-identically.
     """
     rng = np.random.default_rng(seed)
     vocab = np.array(_vocab(vocab_size))
@@ -55,14 +67,32 @@ def make_web_pages(
     base_ts = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
 
     lens = np.maximum(3, rng.geometric(1.0 / mean_len, n_docs))
+    multi = n_sites > 1
+    if multi:
+        sites = rng.integers(0, n_sites, n_docs)
+        # per-site topic slice: a fixed odd-multiplier scatter over ranks
+        topic_off = [(j * 2654435761) % max(1, vocab_size - topic_width)
+                     for j in range(n_sites)]
+        tprobs = _zipf_probs(min(topic_width, vocab_size))
     rows = []
     for i in range(n_docs):
-        words = rng.choice(vocab, size=int(lens[i]), p=probs)
+        k = int(lens[i])
+        if multi:
+            j = int(sites[i])
+            topical = rng.random(k) < site_topic_frac
+            ranks = rng.choice(min(topic_width, vocab_size), size=k, p=tprobs)
+            glob = rng.choice(vocab_size, size=k, p=probs)
+            idx = np.where(topical, topic_off[j] + ranks, glob)
+            words = vocab[idx]
+            url = f"https://site{j:05d}.example.com/p/{i}"
+        else:
+            words = rng.choice(vocab, size=k, p=probs)
+            url = f"https://example.org/p/{i}"
         text = " ".join(words.tolist())
         html = _HTML_PRE + text.encode("utf-8") + _HTML_POST
         rows.append(
             (
-                f"https://example.org/p/{i}",
+                url,
                 base_ts + dt.timedelta(seconds=int(i)),
                 bytearray(html),
                 text,
