@@ -396,9 +396,12 @@ def q_index_join_topk(spark, sf_dir):
     Folded in (50-row gate): route='phrase' rows from the SAME index via
     index/phrase.phrase_topk — conjunctive candidates from the join route,
     token-adjacency verified on candidates only; oracle = phrase_oracle_sql.
+    route='and' rows via index/phrase.conjunctive_topk — boolean-AND
+    retrieval (full-match gate, no adjacency); oracle =
+    conjunctive_oracle_sql.
     """
     from light_splade_spark.index.join_scorer import score_index_join
-    from light_splade_spark.index.phrase import phrase_topk
+    from light_splade_spark.index.phrase import conjunctive_topk, phrase_topk
 
     idx = _cached_index(spark, sf_dir)
     qdf = spark.createDataFrame(QUERIES, "qid BIGINT, text STRING")
@@ -407,7 +410,9 @@ def q_index_join_topk(spark, sf_dir):
     ph = (phrase_topk(spark, idx, _docs(spark, sf_dir), PHRASES, top_k=TOP_K)
           .withColumnRenamed("pid", "qid")
           .withColumn("route", F.lit("phrase")))
-    return orr.unionByName(ph)
+    conj = (conjunctive_topk(spark, idx, QUERIES, top_k=TOP_K)
+            .withColumn("route", F.lit("and")))
+    return orr.unionByName(ph).unionByName(conj)
 
 
 def q_term_stats(spark, sf_dir):
@@ -1216,6 +1221,10 @@ SELECT qid, rank, doc_id, score, 'or' AS route FROM (
 UNION ALL
 SELECT qid, rank, doc_id, score, 'phrase' AS route FROM (
 {bm25_sql.phrase_oracle_sql(PHRASES, top_k=TOP_K)}
+)
+UNION ALL
+SELECT qid, rank, doc_id, score, 'and' AS route FROM (
+{bm25_sql.conjunctive_oracle_sql(QUERIES, top_k=TOP_K)}
 )
 """
 

@@ -151,6 +151,19 @@ class Engine:
         return phrase_topk(self.spark, self.index_dir, docs, phrases,
                            top_k=top_k)
 
+    def conjunctive(
+        self,
+        queries: list[tuple[int, str]],
+        top_k: int = 10,
+    ) -> DataFrame:
+        """-> (qid, rank, doc_id, score): boolean-AND retrieval — BM25
+        top-k among documents containing ALL the query's terms
+        (index/phrase.py conjunctive stage, no adjacency verify). Scores
+        are identical to retrieve()'s for the same (query, doc) pairs."""
+        from light_splade_spark.index.phrase import conjunctive_topk
+        return conjunctive_topk(self.spark, self.index_dir, queries,
+                                top_k=top_k)
+
     # -- stats / lineage -----------------------------------------------------
 
     def terms(self) -> DataFrame:

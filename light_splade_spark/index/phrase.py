@@ -46,6 +46,65 @@ from light_splade_spark.index.manifest import IndexManifest
 from light_splade_spark.plans.bm25_sql import SCORE_DECIMALS, query_term_rows
 
 
+def _conjunctive_candidates(spark: SparkSession, index_dir: str,
+                            qt: DataFrame) -> DataFrame:
+    """(pid, doc_id, score): documents containing ALL of each query's
+    distinct terms, scored sum(qtf * stored-impact) — identical semantics
+    to score_index_join restricted to full matches. ``qt`` = (pid, term,
+    qtf) rows. A term absent from the index makes its query's n_terms
+    unreachable, so that query yields zero candidates (correct: no doc
+    contains the term) rather than silently matching the remaining terms.
+    Scale: decode touches only the query terms' posting bytes (bucket
+    pruning + min/max pushdown inside decode_postings); the conjunction
+    is the same groupBy the OR route pays, plus one broadcast of per-query
+    term counts."""
+    n_terms = qt.groupBy("pid").agg(F.count(F.lit(1)).alias("n_terms"))
+    terms = read_terms(spark, index_dir).select("term", "term_id")
+    qterm = qt.join(terms, "term").select("pid", "term_id", "qtf")
+    decoded = decode_postings(spark, index_dir, term_ids=qterm)
+    return (
+        qterm.join(decoded, "term_id")
+        .groupBy("pid", "doc_id")
+        .agg(
+            F.round(F.sum(F.col("qtf") * F.col("w").cast("double")),
+                    SCORE_DECIMALS).alias("score"),
+            F.count(F.lit(1)).alias("nm"),
+        )
+        .join(F.broadcast(n_terms), "pid")
+        .where(F.col("nm") == F.col("n_terms"))
+        .select("pid", "doc_id", "score")
+    )
+
+
+def conjunctive_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    top_k: int = 10,
+) -> DataFrame:
+    """-> (qid, rank, doc_id, score): BM25 top-k among documents
+    containing ALL the query's distinct terms (boolean-AND retrieval —
+    the standard strict fulltext mode the reference's bag-of-terms
+    scorer cannot express). Scores equal the disjunctive routes' scores
+    for the same (query, doc) pairs: same stored impacts, same rounding,
+    same doc_id tie-break. ``top_k=0`` returns every full match ranked.
+    """
+    man = IndexManifest.load(index_dir)
+    ana = resolve_analyzer(man.analyzer_version, index_dir)
+    qt_rows = query_term_rows(queries, ana)
+    if not qt_rows:
+        return spark.createDataFrame(
+            [], "qid BIGINT, rank INT, doc_id BIGINT, score DOUBLE")
+    qt = spark.createDataFrame(qt_rows, "pid BIGINT, term STRING, qtf BIGINT")
+    cand = _conjunctive_candidates(spark, index_dir, qt)
+    w = Window.partitionBy("pid").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = cand.withColumn("rank", F.row_number().over(w))
+    if top_k and top_k > 0:
+        ranked = ranked.where(F.col("rank") <= top_k)
+    return ranked.select(F.col("pid").alias("qid"), "rank", "doc_id",
+                         "score")
+
+
 def phrase_topk(
     spark: SparkSession,
     index_dir: str,
@@ -80,27 +139,7 @@ def phrase_topk(
             [], "pid BIGINT, rank INT, doc_id BIGINT, score DOUBLE")
     qt = spark.createDataFrame(qt_rows, "pid BIGINT, term STRING, qtf BIGINT")
     ptoks = spark.createDataFrame(ptok_rows, "pid BIGINT, ptoks ARRAY<STRING>")
-    # distinct-term count per phrase BEFORE the terms-dim join: if a term is
-    # missing from the index, n_terms is unreachable and the phrase yields
-    # zero candidates (rather than silently matching the remaining terms)
-    n_terms = qt.groupBy("pid").agg(F.count(F.lit(1)).alias("n_terms"))
-
-    terms = read_terms(spark, index_dir).select("term", "term_id")
-    qterm = qt.join(terms, "term").select("pid", "term_id", "qtf")
-
-    decoded = decode_postings(spark, index_dir, term_ids=qterm)
-    cand = (
-        qterm.join(decoded, "term_id")
-        .groupBy("pid", "doc_id")
-        .agg(
-            F.round(F.sum(F.col("qtf") * F.col("w").cast("double")),
-                    SCORE_DECIMALS).alias("score"),
-            F.count(F.lit(1)).alias("nm"),
-        )
-        .join(F.broadcast(n_terms), "pid")
-        .where(F.col("nm") == F.col("n_terms"))
-        .select("pid", "doc_id", "score")
-    )
+    cand = _conjunctive_candidates(spark, index_dir, qt)
 
     # VERIFY: shrink the corpus scan to candidate ids first (semi-join;
     # AQE broadcasts it when the candidate set is small — the common
