@@ -13,32 +13,46 @@ Scale shape (the whole point — a global ``row_number() OVER (ORDER BY
 url)`` is a single-partition sort and dies at 10^12 docs):
 
 1. bucket key = first ``bucket_hex`` hex chars of md5(site) — uniform
-   over sites, so buckets are balanced unless one site dominates the
-   corpus (documented tradeoff: a mega-site lives in one bucket; raise
-   ``bucket_hex`` and/or pre-split such sites by path prefix upstream).
-2. per-bucket counts -> exact cumulative offsets on the driver. This
-   collect is bounded by 16^bucket_hex rows (65,536 at the default),
-   NOT by corpus size.
-3. one shuffle: ``row_number() OVER (PARTITION BY bucket ORDER BY
-   site, *order_cols)``; final id = bucket offset + local rank - 1.
+   over SITES, so buckets are balanced when sites are many. A mega-site
+   necessarily lives in ONE bucket at any ``bucket_hex`` (every row
+   shares the site hash); the remedy for a site that dominates the
+   corpus is an upstream pre-split of its pages by path prefix into
+   synthetic sub-sites, not a bigger bucket space.
+2. per-bucket counts -> exact cumulative offsets via a prefix-sum
+   window over the COUNT AGGREGATE (at most 16^bucket_hex rows — a
+   single-partition window over 65,536 rows at the default, never the
+   corpus), broadcast back.
+3. one corpus-wide shuffle: ``row_number() OVER (PARTITION BY bucket
+   ORDER BY site, *order_cols)``; final id = bucket offset + local
+   rank - 1.
 
-The resulting ids are globally DENSE (0..N-1) and equal, by
-construction, to the rank in the total order ``(bucket_key, site,
-*order_cols)`` — which is exactly expressible as one ANSI-SQL window,
-giving the DuckDB oracle. Dense ids are also what the index kernel
-wants: doc-range salting (index/build.py) splits on ``max_doc`` and
-degrades if the id space is sparse.
+The whole plan is LAZY (no job runs until the caller acts) and equals,
+by construction, the rank in the total order ``(bucket_key, site,
+*order_cols)`` — exactly expressible as one ANSI-SQL window, giving the
+DuckDB oracle. Dense 0..N-1 ids are also what the index kernel wants:
+doc-range salting (index/build.py) splits on ``max_doc`` and degrades
+if the id space is sparse.
+
+Like every exact two-pass dense-rank scheme, the input is evaluated
+twice (the count pass and the assign pass — persist upstream if it is
+expensive) and must be DETERMINISTIC between the passes; a
+non-deterministic source could make offsets disagree with the window
+counts. Known bound: in-bucket ranks come from ``row_number()``
+(IntegerType), so one SITE exceeding 2^31 pages overflows — far beyond
+any real site; the path-prefix pre-split above is also the remedy.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from light_splade_spark.functions.urls import registrable_domain
 
 DEFAULT_BUCKET_HEX = 4  # 16^4 = 65,536 buckets
+
+_HELPERS = ("__site", "__bk", "__off")
 
 
 def assign_doc_ids(
@@ -61,28 +75,35 @@ def assign_doc_ids(
     only covers non-null keys). A NULL site keys bucket '' via
     ``coalesce``.
 
-    One wide shuffle (the per-bucket window sort); the offsets join is
-    a broadcast of at most 16^bucket_hex rows. No corpus-sized collect.
+    One corpus-wide shuffle (the per-bucket window sort) plus one
+    map-side-combined count aggregate whose prefix-sum window and
+    broadcast are bounded by 16^bucket_hex rows, never by corpus size.
+    Fully lazy — building the DataFrame runs no job.
     """
     if not order_cols:
         raise ValueError("order_cols must name at least one column")
+    clash = [c for c in docs.columns if c in _HELPERS]
+    if clash:
+        raise ValueError(
+            f"assign_doc_ids reserves helper column names {_HELPERS}; "
+            f"input already has {clash} — rename them first")
     site = (F.col(site_col) if site_col
             else registrable_domain(order_cols[0]))
     staged = docs.withColumn("__site", F.coalesce(site, F.lit(""))) \
                  .withColumn("__bk", F.substring(F.md5("__site"), 1,
                                                  bucket_hex))
-    counts = staged.groupBy("__bk").agg(F.count(F.lit(1)).alias("__n")) \
-                   .collect()  # bounded by 16^bucket_hex, never by corpus
-    offset = 0
-    offsets = []
-    for r in sorted(counts, key=lambda r: r["__bk"]):
-        offsets.append((r["__bk"], offset))
-        offset += r["__n"]
-    spark = docs.sparkSession
-    odf = F.broadcast(spark.createDataFrame(offsets, "__bk STRING, __off LONG"))
+    # exact offsets = exclusive prefix sum over the per-bucket counts,
+    # computed lazily inside the same plan (the single-partition window
+    # runs over the aggregate — bounded by the bucket space)
+    counts = staged.groupBy("__bk").agg(F.count(F.lit(1)).alias("__n"))
+    wcum = Window.orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, -1)
+    odf = counts.select(
+        "__bk",
+        F.coalesce(F.sum("__n").over(wcum), F.lit(0)).alias("__off"))
     w = Window.partitionBy("__bk").orderBy(
         F.col("__site").asc(), *[F.col(c).asc() for c in order_cols])
-    return (staged.join(odf, "__bk")
+    return (staged.join(F.broadcast(odf), "__bk")
             .withColumn(out_col,
                         F.col("__off") + F.row_number().over(w) - 1)
             .drop("__bk", "__site", "__off"))

@@ -56,8 +56,19 @@ def snippets(
     terms = F.broadcast(
         spark.createDataFrame(term_rows, "qid BIGINT, term STRING"))
 
-    body = docs.select(F.col(id_col).alias("doc_id"),
-                       F.col(text_col).alias("__text"))
+    # positions are found on the LOWERED text; the window is then cut
+    # from the original text only when lowering preserved length (the
+    # overwhelmingly common case). For characters whose case folding
+    # changes string length (e.g. 'İ' U+0130 lowers to two chars),
+    # positions in the lowered string do not map back to the original —
+    # falling back to extracting from the lowered text keeps the window
+    # aligned with the match, at the cost of displaying folded case for
+    # those rare documents.
+    body = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.length(F.lower(F.col(text_col)))
+               == F.length(F.col(text_col)), F.col(text_col))
+        .otherwise(F.lower(F.col(text_col))).alias("__text"))
     hit = (results.select("qid", "doc_id").join(body, "doc_id")
            .join(terms, "qid")
            .withColumn("__pos", F.expr("instr(lower(__text), term)"))

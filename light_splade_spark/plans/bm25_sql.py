@@ -141,7 +141,8 @@ def bm25_oracle_sql(queries: list[tuple[int, str]], top_k: int = 10,
                     id_col: str = "doc_id", text_col: str = "text",
                     float32_impacts: bool = False,
                     analyzer: Analyzer = ANALYZER_V1,
-                    exclude_doc_pred: str | None = None) -> str:
+                    exclude_doc_pred: str | None = None,
+                    require_all_terms: bool = False) -> str:
     """ANSI/DuckDB SQL computing the identical (qid, rank, doc_id, score).
 
     N and avgdl count ALL docs (avgdl = Σdl / N, an exact integer ratio),
@@ -157,6 +158,11 @@ def bm25_oracle_sql(queries: list[tuple[int, str]], top_k: int = 10,
     reference sparse_indexer.py:47), then the score is Σ qtf * w in DOUBLE —
     exactly what index/wand._score_shard computes, making the flagship WAND
     operator hash-comparable against DuckDB.
+
+    ``require_all_terms=True`` keeps only documents matching ALL of a
+    query's distinct terms (``nm == n_terms`` — the boolean-AND gate of
+    index/phrase.conjunctive_topk); a query with a corpus-absent term
+    yields zero rows on both sides by construction.
     """
     qt = query_term_rows(queries, analyzer)
     values = ", ".join(
@@ -174,6 +180,12 @@ def bm25_oracle_sql(queries: list[tuple[int, str]], top_k: int = 10,
         contrib = f"qt.qtf * CAST(CAST({impact} AS FLOAT) AS DOUBLE)"
     else:
         contrib = f"qt.qtf\n           * {impact}"
+    nq_cte = ("nq AS (SELECT qid, count(*) AS n_terms FROM qt GROUP BY qid),"
+              "\n" if require_all_terms else "")
+    nm_sel = ",\n         count(*) AS nm" if require_all_terms else ""
+    ranked_src = ("scored JOIN nq ON scored.qid = nq.qid "
+                  "AND scored.nm = nq.n_terms"
+                  if require_all_terms else "scored")
     return f"""
 WITH tok AS (
   SELECT {id_col} AS doc_id, unnest({analyzer.duckdb_tokens(text_col)}) AS term
@@ -186,11 +198,11 @@ stats AS (SELECT (SELECT count(*) FROM {table}) AS n,
                    / (SELECT count(*) FROM {table}) AS avgdl),
 tdf AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
 qt(qid, term, qtf) AS (VALUES {values}),
-scored AS (
+{nq_cte}scored AS (
   SELECT qt.qid, dt.doc_id,
          round(sum(
            {contrib}
-         ), {SCORE_DECIMALS}) AS score
+         ), {SCORE_DECIMALS}) AS score{nm_sel}
   FROM qt
   JOIN dt  ON qt.term = dt.term
   JOIN tdf ON qt.term = tdf.term
@@ -199,10 +211,11 @@ scored AS (
   {exclude_clause}GROUP BY qt.qid, dt.doc_id
 ),
 ranked AS (
-  SELECT qid, doc_id, score,
-         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)
+  SELECT scored.qid, doc_id, score,
+         row_number() OVER (PARTITION BY scored.qid
+                            ORDER BY score DESC, doc_id ASC)
            AS rank
-  FROM scored
+  FROM {ranked_src}
   WHERE score >= {threshold}
 )
 SELECT qid, rank, doc_id, score FROM ranked {limit_pred}
@@ -308,55 +321,15 @@ def conjunctive_oracle_sql(queries: list[tuple[int, str]], top_k: int = 10,
                            table: str = "documents", id_col: str = "doc_id",
                            text_col: str = "text",
                            analyzer: Analyzer = ANALYZER_V1) -> str:
-    """Oracle for ``index/phrase.conjunctive_topk``: BM25 top-k (float32
-    impacts, mirroring the index blobs exactly as ``bm25_oracle_sql``'s
-    float32_impacts=True arm) restricted to documents matching ALL of a
-    query's distinct terms. The full-match gate is ``nm == n_terms`` —
-    matched distinct terms per (query, doc) vs the query's distinct term
-    count — the same predicate the Spark side applies; a query with a
-    corpus-absent term yields zero rows on both sides by construction."""
-    qt = query_term_rows(queries, analyzer)
-    values = ", ".join(f"({qid}, '{term}', {qtf})" for qid, term, qtf in qt)
-    limit_pred = f"WHERE rank <= {top_k}" if top_k and top_k > 0 else ""
-    return f"""
-WITH tok AS (
-  SELECT {id_col} AS doc_id, unnest({analyzer.duckdb_tokens(text_col)}) AS term
-  FROM {table}
-),
-dt AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-stats AS (SELECT (SELECT count(*) FROM {table}) AS n,
-                 (SELECT CAST(coalesce(sum(dl), 0) AS DOUBLE) FROM dl)
-                   / (SELECT count(*) FROM {table}) AS avgdl),
-tdf AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
-qt(qid, term, qtf) AS (VALUES {values}),
-nq AS (SELECT qid, count(*) AS n_terms FROM qt GROUP BY qid),
-scored AS (
-  SELECT qt.qid, dt.doc_id,
-         round(sum(
-           qt.qtf * CAST(CAST(
-             ln(1.0 + (s.n - tdf.df + 0.5) / (tdf.df + 0.5))
-               * (dt.tf * ({K1} + 1.0))
-               / (dt.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))
-           AS FLOAT) AS DOUBLE)
-         ), {SCORE_DECIMALS}) AS score,
-         count(*) AS nm
-  FROM qt
-  JOIN dt  ON qt.term = dt.term
-  JOIN tdf ON qt.term = tdf.term
-  JOIN dl  ON dt.doc_id = dl.doc_id
-  CROSS JOIN stats s
-  GROUP BY qt.qid, dt.doc_id
-),
-ranked AS (
-  SELECT scored.qid, doc_id, score,
-         row_number() OVER (PARTITION BY scored.qid
-                            ORDER BY score DESC, doc_id ASC) AS rank
-  FROM scored JOIN nq ON scored.qid = nq.qid AND scored.nm = nq.n_terms
-)
-SELECT qid, rank, doc_id, score FROM ranked {limit_pred}
-ORDER BY qid, rank
-"""
+    """Oracle for ``index/phrase.conjunctive_topk``: ``bm25_oracle_sql``
+    with float32 impacts (mirroring the index blobs) and the boolean-AND
+    full-match gate — one shared SQL generator, so a future change to the
+    impact formula or the stats rule cannot silently diverge between the
+    OR and AND oracles."""
+    return bm25_oracle_sql(queries, top_k=top_k, table=table,
+                           id_col=id_col, text_col=text_col,
+                           float32_impacts=True, analyzer=analyzer,
+                           require_all_terms=True)
 
 
 def phrase_oracle_sql(phrases: list[tuple[int, str]], top_k: int = 10,

@@ -149,6 +149,17 @@ ORDER BY 1""").fetchall())
     assert got == want
 
 
+def test_snippets_unicode_length_changing_case(spark):
+    """Positions are found on the lowered text; when case folding changes
+    string length ('İ' U+0130 lowers to 2 chars) the window must still
+    contain the match (extraction falls back to the folded text)."""
+    docs = spark.createDataFrame([(0, "İİİ gamma delta")],
+                                 "doc_id BIGINT, text STRING")
+    res = spark.createDataFrame([(1, 0)], "qid BIGINT, doc_id BIGINT")
+    row = snippets(res, docs, [(1, "gamma")], window=0).collect()[0]
+    assert "gamma" in row["snippet"], row["snippet"]
+
+
 def test_snippets_no_python_plan(eng, spark):
     engine, docs = eng
     res = engine.conjunctive([(0, "hash join")], top_k=0)

@@ -95,13 +95,40 @@ def test_matches_global_sort_oracle(spark):
 
 
 def test_single_wide_shuffle(pages):
-    """Exactly one non-broadcast exchange: the per-bucket window sort.
-    The offsets join must be broadcast (65,536-row bound), never an SMJ."""
+    """Exactly two hash exchanges, only ONE corpus-wide: the per-bucket
+    window sort. The second is the map-side-combined bucket-count
+    aggregate (rows bounded by the bucket space, 16^4), whose prefix-sum
+    window runs single-partition over that aggregate and whose result is
+    broadcast back — never an SMJ, and fully lazy (no job at build)."""
     out = assign_doc_ids(pages, order_cols=("url", "orig"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     n_exchange = plan.count("Exchange hashpartitioning")
-    assert n_exchange == 1, plan
+    assert n_exchange == 2, plan
     assert "BroadcastHashJoin" in plan, plan
+    # the count agg is partial+final (map-side combine before its shuffle)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_reserved_column_collision_raises(spark):
+    df = spark.createDataFrame([(1, "u", "x")],
+                               "orig BIGINT, url STRING, __site STRING")
+    with pytest.raises(ValueError, match="__site"):
+        assign_doc_ids(df, order_cols=("url",))
+
+
+def test_lazy_construction(pages, monkeypatch):
+    """Building the remapped DataFrame must trigger NO action (the offsets
+    are a lazy prefix-sum subtree, not a driver collect — an eager build
+    would execute the caller's whole upstream pipeline twice)."""
+    from pyspark.sql import DataFrame as DF
+
+    def boom(self, *a, **k):
+        raise AssertionError("eager action during construction")
+
+    monkeypatch.setattr(DF, "collect", boom)
+    monkeypatch.setattr(DF, "count", boom)
+    monkeypatch.setattr(DF, "toPandas", boom, raising=False)
+    assign_doc_ids(pages, order_cols=("url", "orig"))
 
 
 def test_url_order_compresses_postings(spark, tmp_path):
