@@ -51,6 +51,11 @@ def main() -> None:
                     help="age (s) a non-live dir must reach before removal "
                          "(protects in-flight appends; 0 = sweep now)")
 
+    vp = sub.add_parser("verify",
+                        help="read-only integrity fsck; exit code 1 on "
+                             "error-severity findings")
+    vp.add_argument("--sample-terms", type=int, default=64)
+
     args = p.parse_args()
     spark = SparkSession.builder.appName(
         f"lss-maintain-{args.op}").getOrCreate()
@@ -75,13 +80,20 @@ def main() -> None:
         man = compact_index(spark, args.index_dir, gc=not args.no_gc)
         out = {"op": "compact", "epoch": man.compact_epoch,
                "live_groups": man.live_groups}
-    else:  # gc
+    elif args.op == "gc":
         from light_splade_spark.index.compact import gc_postings
         removed = gc_postings(args.index_dir, grace_sec=args.grace_sec)
         out = {"op": "gc", "removed_groups": removed}
+    else:  # verify
+        from light_splade_spark.index.fsck import fsck_index
+        rep = fsck_index(spark, args.index_dir,
+                         sample_terms=args.sample_terms)
+        out = {"op": "verify", **rep}
 
     print(json.dumps(out))
     spark.stop()
+    if args.op == "verify" and not out["ok"]:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -164,6 +164,15 @@ class Engine:
         return conjunctive_topk(self.spark, self.index_dir, queries,
                                 top_k=top_k)
 
+    def fsck(self, sample_terms: int = 64) -> dict:
+        """Read-only integrity verification of the on-disk index state
+        (index/fsck.py): manifest/liveness/terms/postings referential
+        checks plus a sampled decode through the real read path.
+        -> {"ok": bool, "findings": [...], "stats": {...}}."""
+        from light_splade_spark.index.fsck import fsck_index
+        return fsck_index(self.spark, self.index_dir,
+                          sample_terms=sample_terms)
+
     # -- stats / lineage -----------------------------------------------------
 
     def terms(self) -> DataFrame:

@@ -42,6 +42,7 @@ def decode_postings(
     index_dir: str,
     term_ids: list[int] | DataFrame | None = None,
     live_groups: list[str] | None = None,
+    include_tombstoned: bool = False,
 ) -> DataFrame:
     """-> DataFrame(term_id BIGINT, doc_id BIGINT, w FLOAT).
 
@@ -53,6 +54,10 @@ def decode_postings(
     the WAND kernel bit-for-bit (weight_bits=8 -> block-relative uint8).
     ``live_groups`` pins the exact shard-group set to read (compactor's
     decode snapshot) instead of re-loading the manifest.
+    ``include_tombstoned=True`` skips the tombstone anti-join and returns
+    the raw stored postings — for integrity checks (index/fsck.py) that
+    compare decoded lengths against stored df, which counts deleted docs
+    until a compaction purges them. Scoring callers must keep the default.
     """
     man = IndexManifest.load(index_dir)
     wb = man.weight_bits
@@ -104,7 +109,7 @@ def decode_postings(
     # anti-join — no driver-size bound on the delete set. Because
     # compact_index decodes through here, compaction also purges them.
     from light_splade_spark.index.tombstones import tombstones_df
-    tomb = tombstones_df(spark, index_dir)
+    tomb = None if include_tombstoned else tombstones_df(spark, index_dir)
     if tomb is not None:
         out = out.join(tomb, "doc_id", "left_anti")
     return out
