@@ -166,6 +166,19 @@ def run_suite(master: str, shuffle_partitions: int = 32) -> dict:
                              os.environ.get("LSS_WORDPIECE_BACKEND", "auto")
                              != "py" else "py")
 
+    # html -> text extraction throughput (the input_hint invariant's cost):
+    # Arrow-vectorized pandas UDF over the synthetic Common-Crawl-shaped
+    # web_pages fixture (byte-identity is pytest-asserted; this measures it)
+    from light_splade_spark.fixtures import make_web_pages
+    from light_splade_spark.functions.analyzers import extract_text_udf
+    wpages = make_web_pages(spark, n_docs=5000, vocab_size=5000,
+                            n_partitions=32).select("url", "html")
+    wpages.persist().count()  # isolate extraction from fixture synthesis
+    t_ex, _ = _timed(lambda: _noop(
+        wpages.select(F.length(extract_text_udf("html")).alias("n"))))
+    extras["extract_html_docs_per_sec"] = round(5000 / t_ex, 1)
+    wpages.unpersist()
+
     spark.stop()
     return {"queries": {k: round(v, 3) for k, v in q.items()}, "extras": extras}
 

@@ -190,3 +190,36 @@ def test_multisite_fixture_shape(spark):
     old = make_web_pages(spark, n_docs=5, vocab_size=500)
     assert all(r["url"].startswith("https://example.org/p/")
                for r in old.collect())
+
+
+def test_retrieval_identical_modulo_remap(spark, tmp_path):
+    """Building over url-ordered ids changes doc_id VALUES, never results:
+    per query, the multiset of scores is identical, and each scored doc
+    maps 1:1 through the id map. (Rank ORDER may differ only inside a
+    tie group — ties break by doc_id, which the remap permutes.)"""
+    from light_splade_spark.engine import Engine
+    from light_splade_spark.fixtures import make_web_pages
+    from light_splade_spark.operators.docid import docid_map
+
+    pages = make_web_pages(spark, n_docs=400, vocab_size=600, n_sites=8,
+                           site_topic_frac=0.6, n_partitions=8) \
+        .select("url", "text")
+    arrival = pages.withColumn(
+        "doc_id", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long"))
+    ordered = assign_doc_ids(pages, order_cols=("url",), out_col="doc_id")
+    # old->new map via the arrival index embedded in the url
+    m = {int(r["arr"]): int(r["doc_id"]) for r in docid_map(
+        ordered.withColumn(
+            "arr", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")),
+        "arr", out_col="doc_id").collect()}
+
+    qs = [(0, "t00000 t00001"), (1, "t00002"), (2, "t00000 t00017 t00050")]
+    ea = Engine.build(spark, arrival, str(tmp_path / "a"), n_buckets=4,
+                      n_salts=2, n_shard_groups=1, block_size=32)
+    eo = Engine.build(spark, ordered, str(tmp_path / "o"), n_buckets=4,
+                      n_salts=2, n_shard_groups=1, block_size=32)
+    ra = [(r["qid"], r["doc_id"], r["score"])
+          for r in ea.retrieve(qs, top_k=0).collect()]
+    ro = {(r["qid"], r["doc_id"], r["score"])
+          for r in eo.retrieve(qs, top_k=0).collect()}
+    assert ro == {(q, m[d], s) for q, d, s in ra}
