@@ -10,11 +10,15 @@
         --index-dir /path/to/index compact [--no-gc]
     spark-submit ... jobs/maintain_index_job.py \
         --index-dir /path/to/index gc [--grace-sec 3600]
+    spark-submit ... jobs/maintain_index_job.py \
+        --index-dir /path/to/index verify [--sample-terms 64]
 
 The LSM lifecycle (index/compact.py, index/tombstones.py): appends add
 immutable shard groups, deletes add tombstone markers, compact folds both
 back to one posting row per (shard, bucket, term) with an atomic liveness
-commit, gc removes non-live group directories (safe any time).
+commit, gc removes non-live group directories (safe any time). verify is
+the read-only integrity fsck (index/fsck.py) — prints the findings JSON
+and exits 1 when any error-severity finding exists.
 """
 
 from __future__ import annotations

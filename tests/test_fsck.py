@@ -108,16 +108,63 @@ def test_corrupt_manifest_reported(spark, tmp_path):
     assert rep["findings"][0]["check"] == "manifest"
 
 
-def test_engine_method_and_job_cli(spark, idx, capsys):
+def test_engine_method_and_job_cli(spark, idx, capsys, monkeypatch):
     assert Engine.open(spark, idx).fsck(sample_terms=8)["ok"]
-    # the spark-submit surface: verify action exits 0 on a clean index
+    # the spark-submit surface: verify action exits 0 on a clean index.
+    # main() calls spark.stop() on the getOrCreate() session, which is the
+    # session-scoped pytest fixture — neuter it (same as test_maintain_job)
+    monkeypatch.setattr("pyspark.sql.SparkSession.stop", lambda self: None)
     import sys
     from jobs.maintain_index_job import main as jmain
-    argv = sys.argv
-    sys.argv = ["x", "--index-dir", idx, "verify", "--sample-terms", "8"]
-    try:
-        jmain()
-    finally:
-        sys.argv = argv
+    monkeypatch.setattr(sys, "argv", ["x", "--index-dir", idx, "verify",
+                                      "--sample-terms", "8"])
+    jmain()
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["op"] == "verify" and payload["ok"]
+
+
+def test_zombie_reappend_is_warn_only(spark, idx):
+    """Delete-then-re-append leaves the doc in two live groups until the
+    next compaction — the documented zombie contract, so fsck must WARN,
+    not error (verify exit 0)."""
+    from light_splade_spark.streaming.incremental import append_batch
+
+    eng = Engine.open(spark, idx)
+    eng.delete([7])
+    batch = spark.createDataFrame([(7, CORPUS[7][1])],
+                                  "doc_id BIGINT, text STRING")
+    append_batch(spark, idx, batch, "re7")
+    rep = fsck_index(spark, idx, sample_terms=64)
+    assert rep["ok"], rep["findings"]
+    assert any(f["severity"] == "warn" and f["check"] == "decode"
+               for f in rep["findings"]), rep["findings"]
+    # the zombie is PERMANENT by design (reference semantics: old postings
+    # score alongside the new ones, sparse_indexer.py:99-101) — compaction
+    # folds both into one list; fsck must keep warning, never error
+    eng.compact()
+    rep2 = fsck_index(spark, idx, sample_terms=64)
+    assert rep2["ok"], rep2["findings"]
+    assert all(f["severity"] != "error" for f in rep2["findings"])
+
+
+def test_truncated_blob_is_structured_finding(spark, idx):
+    """A corrupt posting blob must surface as an error FINDING, not an
+    unhandled Spark job failure."""
+    import glob
+
+    part = sorted(glob.glob(os.path.join(
+        idx, "postings", "shard_group=*", "bucket=*", "*.parquet")))[0]
+    leaf = os.path.dirname(part)
+    # rewrite one bucket dir THROUGH Spark so the corrupted file stays
+    # readable by Spark's vectorized reader and the failure lands in the
+    # VByte decode stage (truncated blobs)
+    sub = spark.read.parquet(leaf)
+    cut = sub.withColumn("postings", F.expr(
+        "substring(postings, 1, greatest(1, int(length(postings) / 3)))"))
+    cut.write.mode("overwrite").parquet(leaf + "__tmp")
+    shutil.rmtree(leaf)
+    os.rename(leaf + "__tmp", leaf)
+    rep = fsck_index(spark, idx, sample_terms=64)
+    assert not rep["ok"]
+    assert any(f["check"] == "decode" and f["severity"] == "error"
+               for f in rep["findings"]), rep["findings"]
