@@ -101,6 +101,10 @@ def run_suite(master: str, shuffle_partitions: int = 32) -> dict:
         extras["query_p50_sec"] = round(lat[len(lat) // 2], 3)
         extras["query_p95_sec"] = round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3)
         extras["query_qps_batch"] = round(len(DOCUMENTS_QUERY_SET) / q["wand_batch"], 2)
+        # round-6 serving modes over the same index: boolean-AND retrieval
+        from light_splade_spark.index.phrase import conjunctive_topk
+        q["conjunctive"], _ = _timed(lambda: _noop(
+            conjunctive_topk(spark, idx_dir, DOCUMENTS_QUERY_SET, top_k=10)))
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -132,6 +136,11 @@ def run_suite(master: str, shuffle_partitions: int = 32) -> dict:
         similarity.ivf_topk(emb, list(range(10)), k=5)))
     q["ranking_metrics"], _ = _timed(lambda: _noop(
         entry.q_ranking_metrics(spark, SF_DIR)))
+    # retrieval + snippet presentation end-to-end (operators/snippets.py)
+    from light_splade_spark.operators.snippets import snippets as _snips
+    q["snippets_e2e"], _ = _timed(lambda: _noop(_snips(
+        bm25_sql.bm25_topk_docs(docs, DOCUMENTS_QUERY_SET, top_k=10),
+        docs, DOCUMENTS_QUERY_SET)))
 
     # analyzer throughput extras: the JVM-codegen v1 tokenizer vs the
     # wordpiece-v4 Arrow UDF (vocab greedy matching is the one Python hot

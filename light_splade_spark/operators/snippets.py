@@ -44,6 +44,11 @@ def snippets(
     by doc_id (broadcast-able when the result set is interactive-sized —
     AQE decides), one broadcast of the query-term table, one groupBy of
     per-(qid,doc,term) match positions back to one row per result row.
+
+    The final left join references ``results`` twice (hit derivation +
+    row preservation), so an EXPENSIVE results subplan evaluates twice —
+    ``results.persist()`` first when it is a full retrieval pipeline
+    rather than a materialized top-k.
     """
     spark = results.sparkSession
     term_rows = sorted({(qid, t.lower())
