@@ -4,7 +4,18 @@
         --index-dir /path/to/index \
         --queries /path/to/queries.ndjson   # {"qid": 1, "text": "..."} lines
         --output /path/to/results.parquet \
-        [--top-k 10 --threshold 0.0 --mode bmw]
+        [--top-k 10 --threshold 0.0 --mode bmw] \
+        [--route auto|wand|join] [--require-all-terms]
+
+Routes: ``wand`` collects the query batch to the driver and runs the
+block-max WAND kernel (fastest; driver memory grows with batch size);
+``join`` streams the query DataFrame UNCOLLECTED into the distributed
+index-join scorer (flat driver memory — the 10^6-query shape);
+``auto`` (default) picks join when the batch exceeds 50k queries, the
+same guard the streaming path applies. ``--require-all-terms`` switches
+to conjunctive (boolean-AND) retrieval — only documents containing
+every query term (index/phrase.conjunctive_topk; wand/join routes do
+not apply).
 """
 
 from __future__ import annotations
@@ -12,6 +23,8 @@ from __future__ import annotations
 import argparse
 
 from pyspark.sql import SparkSession
+
+JOIN_ROUTE_THRESHOLD = 50_000  # mirrors streaming/incremental.stream_queries
 
 
 def main() -> None:
@@ -22,18 +35,41 @@ def main() -> None:
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--threshold", type=float, default=0.0)
     p.add_argument("--mode", default="bmw", choices=["bmw", "taat"])
+    p.add_argument("--route", default="auto",
+                   choices=["auto", "wand", "join"])
+    p.add_argument("--require-all-terms", action="store_true",
+                   help="conjunctive (boolean-AND) retrieval")
     args = p.parse_args()
 
     spark = SparkSession.builder.appName("lss-query").getOrCreate()
-    from light_splade_spark.index.wand import wand_topk
     from light_splade_spark.sources.ndjson import read_query_master
 
-    qs = [(int(r["qid"]), r["text"])
-          for r in read_query_master(spark, args.queries).collect()]
-    out = wand_topk(spark, args.index_dir, qs, top_k=args.top_k,
-                    threshold=args.threshold, mode=args.mode)
+    qdf = read_query_master(spark, args.queries)
+    if args.require_all_terms:
+        from light_splade_spark.index.phrase import conjunctive_topk
+        qs = [(int(r["qid"]), r["text"]) for r in qdf.collect()]
+        out = conjunctive_topk(spark, args.index_dir, qs, top_k=args.top_k)
+        route = "conjunctive"
+    else:
+        route = args.route
+        if route == "auto":
+            # bounded take: never counts (or collects) a 10^6-row file
+            # just to decide the route
+            head = qdf.take(JOIN_ROUTE_THRESHOLD + 1)
+            route = "join" if len(head) > JOIN_ROUTE_THRESHOLD else "wand"
+        if route == "join":
+            from light_splade_spark.index.join_scorer import score_index_join
+            out = score_index_join(spark, args.index_dir,
+                                   qdf.select("qid", "text"),
+                                   top_k=args.top_k,
+                                   threshold=args.threshold)
+        else:
+            from light_splade_spark.index.wand import wand_topk
+            qs = [(int(r["qid"]), r["text"]) for r in qdf.collect()]
+            out = wand_topk(spark, args.index_dir, qs, top_k=args.top_k,
+                            threshold=args.threshold, mode=args.mode)
     out.write.mode("overwrite").parquet(args.output)
-    print(f"wrote {out.count()} result rows for {len(qs)} queries")
+    print(f"route={route}: wrote {out.count()} result rows")
     spark.stop()
 
 
