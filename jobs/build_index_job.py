@@ -46,6 +46,17 @@ def main() -> None:
     p.add_argument("--extract-html", action="store_true",
                    help="derive text from the html BINARY column and doc ids "
                         "from url (Common-Crawl-shaped input)")
+    p.add_argument("--assign-ids", default="range-url",
+                   choices=["range-url", "site-bucket"],
+                   help="docID assignment for id-less html inputs: "
+                        "'range-url' = global url order via range "
+                        "partitioning (plans/stats.with_dense_id); "
+                        "'site-bucket' = registrable-domain md5-bucketed "
+                        "order (operators/docid.assign_doc_ids — "
+                        "deterministic without distribution sampling, "
+                        "same posting-compression locality). Either way "
+                        "the (doc_id, url) map is persisted at "
+                        "<index-dir>/docid_map for joining results back")
     args = p.parse_args()
 
     spark = SparkSession.builder.appName("lss-build-index").getOrCreate()
@@ -81,8 +92,18 @@ def main() -> None:
     if args.extract_html:
         docs = docs.withColumn("text", extract_text_udf("html"))
         if "doc_id" not in docs.columns:
-            docs = with_dense_id(docs.select("url", "text"),
-                                 [F.asc("url")], "doc_id")
+            if args.assign_ids == "site-bucket":
+                from light_splade_spark.operators.docid import assign_doc_ids
+                docs = assign_doc_ids(docs.select("url", "text"),
+                                      order_cols=("url",), out_col="doc_id")
+            else:
+                docs = with_dense_id(docs.select("url", "text"),
+                                     [F.asc("url")], "doc_id")
+            # persist the id<->url map next to the index so query results
+            # (which carry the dense ids) can be joined back to urls
+            import os
+            docs.select("doc_id", "url").write.mode("overwrite").parquet(
+                os.path.join(args.index_dir, "docid_map"))
     man = build_index(
         spark, docs, args.index_dir, id_col=args.id_col,
         text_col=args.text_col, n_shards=args.n_shards,
