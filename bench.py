@@ -134,6 +134,18 @@ def run_suite(master: str, shuffle_partitions: int = 32) -> dict:
         similarity.ann_lsh_topk(emb, list(range(10)), k=5, n_planes=6)))
     q["ivf"], _ = _timed(lambda: _noop(
         similarity.ivf_topk(emb, list(range(10)), k=5)))
+    # ANN QUALITY next to ANN latency: recall@5 of each approximate path
+    # against the exact brute-force neighbors on the same 10 queries
+    # (latency without recall is meaningless for ANN)
+    exact = {(r["qid"], r["nid"]) for r in
+             similarity.brute_force_topk(emb, list(range(10)), k=5).collect()}
+    for name, fn in (("ann_lsh", lambda: similarity.ann_lsh_topk(
+            emb, list(range(10)), k=5, n_planes=6)),
+            ("ann_lsh_mp2", lambda: similarity.ann_lsh_topk(
+                emb, list(range(10)), k=5, n_planes=6, hamming_probes=2)),
+            ("ivf", lambda: similarity.ivf_topk(emb, list(range(10)), k=5))):
+        got = {(r["qid"], r["nid"]) for r in fn().collect()}
+        extras[f"{name}_recall_at_5"] = round(len(got & exact) / len(exact), 3)
     q["ranking_metrics"], _ = _timed(lambda: _noop(
         entry.q_ranking_metrics(spark, SF_DIR)))
     # retrieval + snippet presentation end-to-end (operators/snippets.py)

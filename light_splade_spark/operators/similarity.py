@@ -306,10 +306,24 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
+    hamming_probes: int = 0,
 ) -> DataFrame:
     """Approximate NN: candidates share the sign-LSH bucket, then exact cosine
     re-rank within bucket. Recall < 1 by design; the 100 TB path (corpus
-    shuffles once on bucket; each query probes one bucket)."""
+    shuffles once on bucket; each query probes one bucket).
+
+    ``hamming_probes`` > 0 turns on multi-probe LSH (the public
+    Lv et al. 2007 recipe): each query ALSO probes every bucket within
+    that Hamming distance of its own — sign-LSH's near-miss neighbors
+    differ in exactly the planes whose margin was small, so flipping a
+    few bits recovers most of the lost recall at a known candidate-cost
+    multiplier (sum of C(n_planes, i) for i <= h buckets probed instead
+    of 1). Still a pure equi-join: only the tiny QUERY side explodes
+    (probe buckets are distinct and each corpus vector lives in exactly
+    one bucket, so no duplicate candidate pairs arise); the corpus
+    still shuffles once on its single bucket."""
+    from itertools import combinations
+
     from pyspark.sql import Window
 
     planes = random_hyperplanes(dim, n_planes, seed)
@@ -319,6 +333,16 @@ def ann_lsh_topk(
     )
     q = withb.where(F.col("nid").isin(query_ids)).select(
         F.col("nid").alias("qid"), F.col("nv").alias("qv"), "bucket")
+    if hamming_probes > 0:
+        masks = [0]
+        for h in range(1, hamming_probes + 1):
+            for bits in combinations(range(n_planes), h):
+                masks.append(sum(1 << b for b in bits))
+        q = q.select(
+            "qid", "qv",
+            F.explode(F.array(*[
+                F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks
+            ])).alias("bucket"))
     scored = (
         withb.join(F.broadcast(q), "bucket")
         .where(F.col("qid") != F.col("nid"))

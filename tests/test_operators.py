@@ -101,6 +101,32 @@ def test_ann_lsh_subset_of_bruteforce(spark, sf_dir):
     assert all(cs == sorted(cs, reverse=True) for cs in by_q.values())
 
 
+def test_ann_lsh_multiprobe_recall_ladder(spark):
+    """Multi-probe LSH (hamming_probes=h): candidate sets are supersets as
+    h grows, recall vs brute force is monotonically non-decreasing, and
+    h=0 equals the original single-bucket behavior."""
+    from light_splade_spark.fixtures import load_embeddings
+
+    emb = load_embeddings(spark, "/root/testdata/sf0.001")
+    qids = list(range(5))
+    exact = {(r["qid"], r["nid"]) for r in
+             similarity.brute_force_topk(emb, qids, k=5).collect()}
+
+    def hits(h):
+        return {(r["qid"], r["nid"]) for r in similarity.ann_lsh_topk(
+            emb, qids, k=5, n_planes=6, hamming_probes=h).collect()}
+
+    h0, h1, h2 = hits(0), hits(1), hits(2)
+    r = [len(h & exact) / len(exact) for h in (h0, h1, h2)]
+    assert r[0] <= r[1] <= r[2], r
+    assert r[2] > r[0], r  # probing more buckets must find more at sf0.001
+    # h=0 path is byte-identical to the pre-multiprobe operator (the
+    # explode branch is skipped entirely)
+    base = {(r2["qid"], r2["nid"]) for r2 in similarity.ann_lsh_topk(
+        emb, qids, k=5, n_planes=6).collect()}
+    assert base == h0
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the hat is with of to"),
