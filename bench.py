@@ -148,11 +148,18 @@ def run_suite(master: str, shuffle_partitions: int = 32) -> dict:
         extras[f"{name}_recall_at_5"] = round(len(got & exact) / len(exact), 3)
     q["ranking_metrics"], _ = _timed(lambda: _noop(
         entry.q_ranking_metrics(spark, SF_DIR)))
-    # retrieval + snippet presentation end-to-end (operators/snippets.py)
+    # retrieval + snippet presentation end-to-end (operators/snippets.py).
+    # The results pipeline is persisted per the operator's contract: its
+    # row-preserving left join references results twice, and an
+    # unpersisted subplan would run the retrieval TWICE — overstating the
+    # snippet layer's cost. The persist is lazy, so the single retrieval
+    # still executes inside the timed region (true e2e).
     from light_splade_spark.operators.snippets import snippets as _snips
+    _res = bm25_sql.bm25_topk_docs(docs, DOCUMENTS_QUERY_SET,
+                                   top_k=10).persist()
     q["snippets_e2e"], _ = _timed(lambda: _noop(_snips(
-        bm25_sql.bm25_topk_docs(docs, DOCUMENTS_QUERY_SET, top_k=10),
-        docs, DOCUMENTS_QUERY_SET)))
+        _res, docs, DOCUMENTS_QUERY_SET)))
+    _res.unpersist()
 
     # analyzer throughput extras: the JVM-codegen v1 tokenizer vs the
     # wordpiece-v4 Arrow UDF (vocab greedy matching is the one Python hot

@@ -92,13 +92,30 @@ def main() -> None:
     if args.extract_html:
         docs = docs.withColumn("text", extract_text_udf("html"))
         if "doc_id" not in docs.columns:
+            # both assigners require a TOTAL order (their docstrings):
+            # url alone ties on crawl revisits, and a tie re-resolved
+            # differently across this job's independent evaluations (the
+            # docid_map write, the build, a --resume re-run) would bind
+            # different texts to one doc_id. md5(text) as the tiebreak
+            # makes the order content-deterministic — any residual tie is
+            # between fully identical rows, which are interchangeable.
+            staged = docs.select(
+                "url", "text", F.md5("text").alias("__tie"))
             if args.assign_ids == "site-bucket":
                 from light_splade_spark.operators.docid import assign_doc_ids
-                docs = assign_doc_ids(docs.select("url", "text"),
-                                      order_cols=("url",), out_col="doc_id")
+                docs = assign_doc_ids(staged,
+                                      order_cols=("url", "__tie"),
+                                      out_col="doc_id").drop("__tie")
             else:
-                docs = with_dense_id(docs.select("url", "text"),
-                                     [F.asc("url")], "doc_id")
+                docs = with_dense_id(staged,
+                                     [F.asc("url"), F.asc("__tie")],
+                                     "doc_id").drop("__tie")
+            # pin ONE evaluation: html extraction + the docID shuffle are
+            # consumed by three actions (docid_map write, the build's
+            # expansion, its scalar aggs) — without the persist each
+            # would re-run the whole pipeline (and the assigner's count
+            # pass doubles every scan)
+            docs = docs.persist()
             # persist the id<->url map next to the index so query results
             # (which carry the dense ids) can be joined back to urls
             import os

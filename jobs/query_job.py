@@ -13,9 +13,11 @@ block-max WAND kernel (fastest; driver memory grows with batch size);
 index-join scorer (flat driver memory — the 10^6-query shape);
 ``auto`` (default) picks join when the batch exceeds 50k queries, the
 same guard the streaming path applies. ``--require-all-terms`` switches
-to conjunctive (boolean-AND) retrieval — only documents containing
-every query term (index/phrase.conjunctive_topk; wand/join routes do
-not apply).
+to conjunctive (boolean-AND) retrieval. Flag combinations that a route
+would silently ignore are REJECTED up front: ``--mode`` is wand-only
+(explicit ``--mode`` with a resolved join route errors), and
+``--require-all-terms`` composes with neither ``--route`` nor
+``--threshold`` nor ``--mode``.
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ import argparse
 
 from pyspark.sql import SparkSession
 
-JOIN_ROUTE_THRESHOLD = 50_000  # mirrors streaming/incremental.stream_queries
+from light_splade_spark.streaming.incremental import JOIN_ROUTE_THRESHOLD
 
 
 def main() -> None:
@@ -34,29 +36,46 @@ def main() -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--threshold", type=float, default=0.0)
-    p.add_argument("--mode", default="bmw", choices=["bmw", "taat"])
-    p.add_argument("--route", default="auto",
+    p.add_argument("--mode", default=None, choices=["bmw", "taat"],
+                   help="WAND kernel variant (wand route only)")
+    p.add_argument("--route", default=None,
                    choices=["auto", "wand", "join"])
     p.add_argument("--require-all-terms", action="store_true",
                    help="conjunctive (boolean-AND) retrieval")
     args = p.parse_args()
 
+    if args.require_all_terms and (args.route or args.mode
+                                   or args.threshold != 0.0):
+        p.error("--require-all-terms is its own route: it composes with "
+                "none of --route/--mode/--threshold")
+    route = args.route or "auto"
+    if args.mode and route == "join":
+        p.error("--mode applies to the wand kernel only; --route join "
+                "ignores it")
+
     spark = SparkSession.builder.appName("lss-query").getOrCreate()
     from light_splade_spark.sources.ndjson import read_query_master
 
     qdf = read_query_master(spark, args.queries)
+    head = None
     if args.require_all_terms:
         from light_splade_spark.index.phrase import conjunctive_topk
         qs = [(int(r["qid"]), r["text"]) for r in qdf.collect()]
         out = conjunctive_topk(spark, args.index_dir, qs, top_k=args.top_k)
         route = "conjunctive"
     else:
-        route = args.route
         if route == "auto":
             # bounded take: never counts (or collects) a 10^6-row file
-            # just to decide the route
+            # just to decide the route; the head is REUSED as the wand
+            # batch so the small-batch case reads the file once
             head = qdf.take(JOIN_ROUTE_THRESHOLD + 1)
             route = "join" if len(head) > JOIN_ROUTE_THRESHOLD else "wand"
+            if args.mode and route == "join":
+                raise SystemExit("--mode applies to the wand kernel only, "
+                                 "but --route auto resolved to join for "
+                                 "this batch size; pass --route wand to "
+                                 "force the kernel (driver memory grows "
+                                 "with batch size)")
         if route == "join":
             from light_splade_spark.index.join_scorer import score_index_join
             out = score_index_join(spark, args.index_dir,
@@ -65,11 +84,17 @@ def main() -> None:
                                    threshold=args.threshold)
         else:
             from light_splade_spark.index.wand import wand_topk
-            qs = [(int(r["qid"]), r["text"]) for r in qdf.collect()]
+            rows = head if head is not None else qdf.collect()
+            qs = [(int(r["qid"]), r["text"]) for r in rows]
             out = wand_topk(spark, args.index_dir, qs, top_k=args.top_k,
-                            threshold=args.threshold, mode=args.mode)
+                            threshold=args.threshold,
+                            mode=args.mode or "bmw")
     out.write.mode("overwrite").parquet(args.output)
-    print(f"route={route}: wrote {out.count()} result rows")
+    # count what was WRITTEN — re-counting `out` would re-execute the
+    # whole scoring pipeline (the join route exists for 10^6-query
+    # batches; doubling it to print a number is not acceptable)
+    n = spark.read.parquet(args.output).count()
+    print(f"route={route}: wrote {n} result rows")
     spark.stop()
 
 

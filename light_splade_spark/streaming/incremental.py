@@ -41,6 +41,13 @@ from light_splade_spark.index.build import (
 from light_splade_spark.index.manifest import IndexManifest, write_lineage
 from light_splade_spark.plans.bm25_sql import B, K1
 
+# Query batches above this size route to the distributed join scorer
+# instead of collecting to the driver for the WAND kernel (the join
+# route's advantage is flat driver memory — BENCH/BASELINE.md §0-r5).
+# Shared with jobs/query_job.py's --route auto so the two guards cannot
+# drift.
+JOIN_ROUTE_THRESHOLD = 50_000
+
 
 def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
                  batch_id: str, id_col: str = "doc_id",
@@ -235,7 +242,7 @@ def append_batch(spark: SparkSession, index_dir: str, docs: DataFrame,
 def stream_queries(spark: SparkSession, index_dir: str, stream: DataFrame,
                    output_dir: str, checkpoint_dir: str, top_k: int = 10,
                    threshold: float = 0.0, mode: str = "bmw",
-                   join_route_threshold: int = 50_000):
+                   join_route_threshold: int = JOIN_ROUTE_THRESHOLD):
     """Streaming query evaluation: a stream of (qid, text) rows is evaluated
     against the index per micro-batch, results appended as parquet.
     ``Trigger.AvailableNow`` + checkpoint → each query batch is answered
