@@ -164,6 +164,26 @@ class Engine:
         return conjunctive_topk(self.spark, self.index_dir, queries,
                                 top_k=top_k)
 
+    def resolve_urls(self, results: DataFrame) -> DataFrame:
+        """results columns + ``url``: join retrieval output (which carries
+        the dense ids) back to source urls through the ``docid_map``
+        parquet that jobs/build_index_job.py persists next to the index
+        when it assigns ids. Loud error when the index has no map (ids
+        were caller-provided, so the caller owns the mapping). Left join:
+        every result row survives; an id absent from the map (never
+        possible for a map written by the build that produced the ids)
+        would surface as url NULL rather than a dropped hit."""
+        import os
+
+        mp_dir = os.path.join(self.index_dir, "docid_map")
+        if not os.path.isdir(mp_dir):
+            raise FileNotFoundError(
+                f"{mp_dir} does not exist: this index was built from "
+                f"caller-provided doc ids (no docid_map was persisted); "
+                f"join your own id mapping instead")
+        mp = self.spark.read.parquet(mp_dir).select("doc_id", "url")
+        return results.join(mp, "doc_id", "left")
+
     def fsck(self, sample_terms: int = 64) -> dict:
         """Read-only integrity verification of the on-disk index state
         (index/fsck.py): manifest/liveness/terms/postings referential

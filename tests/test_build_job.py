@@ -31,8 +31,21 @@ def test_html_build_with_id_assignment(spark, tmp_path, monkeypatch, method):
     rows = mp.collect()
     assert sorted(r["doc_id"] for r in rows) == list(range(60))
     assert len({r["url"] for r in rows}) == 60
-    # the index answers queries over the extracted text
+    # the index answers queries over the extracted text, and results
+    # resolve back to urls through the persisted map
     from light_splade_spark.engine import Engine
     eng = Engine.open(spark, idx)
     assert eng.fsck(sample_terms=8)["ok"]
-    assert eng.retrieve([(0, "t00001 t00002")], top_k=5).count() > 0
+    res = eng.retrieve([(0, "t00001 t00002")], top_k=5)
+    resolved = eng.resolve_urls(res).collect()
+    assert resolved
+    assert all(r["url"] and r["url"].startswith("https://") for r in resolved)
+
+
+def test_resolve_urls_loud_without_map(spark, tmp_path):
+    from light_splade_spark.engine import Engine
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id BIGINT, text STRING")
+    eng = Engine.build(spark, docs, str(tmp_path / "i"), n_buckets=2,
+                       n_salts=2, n_shard_groups=1, block_size=32)
+    with pytest.raises(FileNotFoundError, match="docid_map"):
+        eng.resolve_urls(eng.retrieve([(0, "a")], top_k=1))
