@@ -398,7 +398,10 @@ def q_index_join_topk(spark, sf_dir):
     token-adjacency verified on candidates only; oracle = phrase_oracle_sql.
     route='and' rows via index/phrase.conjunctive_topk — boolean-AND
     retrieval (full-match gate, no adjacency); oracle =
-    conjunctive_oracle_sql.
+    conjunctive_oracle_sql. route='and_not' adds the NOT arm: the same
+    AND batch with exclude="table" — docs containing the banned term
+    drop before ranking; oracle = conjunctive_oracle_sql(exclude=...)
+    through the shared exclude_doc_pred hook.
     """
     from light_splade_spark.index.join_scorer import score_index_join
     from light_splade_spark.index.phrase import conjunctive_topk, phrase_topk
@@ -412,7 +415,10 @@ def q_index_join_topk(spark, sf_dir):
           .withColumn("route", F.lit("phrase")))
     conj = (conjunctive_topk(spark, idx, QUERIES, top_k=TOP_K)
             .withColumn("route", F.lit("and")))
-    return orr.unionByName(ph).unionByName(conj)
+    nt = (conjunctive_topk(spark, idx, QUERIES, top_k=TOP_K,
+                           exclude="table")
+          .withColumn("route", F.lit("and_not")))
+    return orr.unionByName(ph).unionByName(conj).unionByName(nt)
 
 
 def q_term_stats(spark, sf_dir):
@@ -1225,6 +1231,10 @@ SELECT qid, rank, doc_id, score, 'phrase' AS route FROM (
 UNION ALL
 SELECT qid, rank, doc_id, score, 'and' AS route FROM (
 {bm25_sql.conjunctive_oracle_sql(QUERIES, top_k=TOP_K)}
+)
+UNION ALL
+SELECT qid, rank, doc_id, score, 'and_not' AS route FROM (
+{bm25_sql.conjunctive_oracle_sql(QUERIES, top_k=TOP_K, exclude="table")}
 )
 """
 

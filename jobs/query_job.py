@@ -42,12 +42,18 @@ def main() -> None:
                    choices=["auto", "wand", "join"])
     p.add_argument("--require-all-terms", action="store_true",
                    help="conjunctive (boolean-AND) retrieval")
+    p.add_argument("--exclude", default=None, metavar="TEXT",
+                   help="boolean NOT (with --require-all-terms): ban "
+                        "documents containing ANY of this text's terms")
     args = p.parse_args()
 
     if args.require_all_terms and (args.route or args.mode
                                    or args.threshold != 0.0):
         p.error("--require-all-terms is its own route: it composes with "
                 "none of --route/--mode/--threshold")
+    if args.exclude and not args.require_all_terms:
+        p.error("--exclude requires --require-all-terms (the boolean "
+                "route); the scoring routes have no NOT arm")
     route = args.route or "auto"
     if args.mode and route == "join":
         p.error("--mode applies to the wand kernel only; --route join "
@@ -61,7 +67,8 @@ def main() -> None:
     if args.require_all_terms:
         from light_splade_spark.index.phrase import conjunctive_topk
         qs = [(int(r["qid"]), r["text"]) for r in qdf.collect()]
-        out = conjunctive_topk(spark, args.index_dir, qs, top_k=args.top_k)
+        out = conjunctive_topk(spark, args.index_dir, qs, top_k=args.top_k,
+                               exclude=args.exclude)
         route = "conjunctive"
     else:
         if route == "auto":

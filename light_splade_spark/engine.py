@@ -155,14 +155,17 @@ class Engine:
         self,
         queries: list[tuple[int, str]],
         top_k: int = 10,
+        exclude: str | None = None,
     ) -> DataFrame:
         """-> (qid, rank, doc_id, score): boolean-AND retrieval — BM25
         top-k among documents containing ALL the query's terms
         (index/phrase.py conjunctive stage, no adjacency verify). Scores
-        are identical to retrieve()'s for the same (query, doc) pairs."""
+        are identical to retrieve()'s for the same (query, doc) pairs.
+        ``exclude`` adds the NOT arm: docs containing ANY of its analyzed
+        terms are banned for every query in the batch."""
         from light_splade_spark.index.phrase import conjunctive_topk
         return conjunctive_topk(self.spark, self.index_dir, queries,
-                                top_k=top_k)
+                                top_k=top_k, exclude=exclude)
 
     def resolve_urls(self, results: DataFrame) -> DataFrame:
         """results columns + ``url``: join retrieval output (which carries

@@ -81,6 +81,7 @@ def conjunctive_topk(
     index_dir: str,
     queries: list[tuple[int, str]],
     top_k: int = 10,
+    exclude: str | None = None,
 ) -> DataFrame:
     """-> (qid, rank, doc_id, score): BM25 top-k among documents
     containing ALL the query's distinct terms (boolean-AND retrieval —
@@ -88,6 +89,16 @@ def conjunctive_topk(
     scorer cannot express). Scores equal the disjunctive routes' scores
     for the same (query, doc) pairs: same stored impacts, same rounding,
     same doc_id tie-break. ``top_k=0`` returns every full match ranked.
+
+    ``exclude`` completes the boolean algebra with NOT: a text whose
+    analyzed terms BAN documents — any doc containing ANY excluded term
+    is dropped (for every query in the batch) BEFORE ranking, so ranks
+    stay dense. Implementation is one anti-join against the decoded
+    postings of only the excluded terms (their posting bytes are all
+    that is read — bucket pruning + min/max pushdown apply as on the
+    scoring side); an excluded term absent from the index bans nothing.
+    Exclusion does not change surviving docs' scores (BM25 has no
+    negative-term contribution).
     """
     man = IndexManifest.load(index_dir)
     ana = resolve_analyzer(man.analyzer_version, index_dir)
@@ -97,6 +108,16 @@ def conjunctive_topk(
             [], "qid BIGINT, rank INT, doc_id BIGINT, score DOUBLE")
     qt = spark.createDataFrame(qt_rows, "pid BIGINT, term STRING, qtf BIGINT")
     cand = _conjunctive_candidates(spark, index_dir, qt)
+    if exclude:
+        ex_terms = sorted(set(ana.py_tokenize(exclude)))
+        if ex_terms:
+            terms = read_terms(spark, index_dir).select("term", "term_id")
+            ex_ids = (spark.createDataFrame([(t,) for t in ex_terms],
+                                            "term STRING")
+                      .join(terms, "term").select("term_id"))
+            banned = (decode_postings(spark, index_dir, term_ids=ex_ids)
+                      .select("doc_id").distinct())
+            cand = cand.join(banned, "doc_id", "left_anti")
     w = Window.partitionBy("pid").orderBy(F.desc("score"), F.asc("doc_id"))
     ranked = cand.withColumn("rank", F.row_number().over(w))
     if top_k and top_k > 0:

@@ -320,16 +320,28 @@ ORDER BY qid, rank
 def conjunctive_oracle_sql(queries: list[tuple[int, str]], top_k: int = 10,
                            table: str = "documents", id_col: str = "doc_id",
                            text_col: str = "text",
-                           analyzer: Analyzer = ANALYZER_V1) -> str:
+                           analyzer: Analyzer = ANALYZER_V1,
+                           exclude: str | None = None) -> str:
     """Oracle for ``index/phrase.conjunctive_topk``: ``bm25_oracle_sql``
     with float32 impacts (mirroring the index blobs) and the boolean-AND
     full-match gate — one shared SQL generator, so a future change to the
     impact formula or the stats rule cannot silently diverge between the
-    OR and AND oracles."""
+    OR and AND oracles. ``exclude`` mirrors the NOT arm: docs containing
+    ANY of the excluded text's analyzed terms are banned via the shared
+    ``exclude_doc_pred`` hook (the same mechanism the tombstone oracle
+    uses)."""
+    pred = None
+    if exclude:
+        ex_terms = sorted(set(analyzer.py_tokenize(exclude)))
+        if ex_terms:
+            quoted = ", ".join("'" + t.replace("'", "''") + "'"
+                               for t in ex_terms)
+            pred = (f"dt.doc_id IN (SELECT doc_id FROM tok "
+                    f"WHERE term IN ({quoted}))")
     return bm25_oracle_sql(queries, top_k=top_k, table=table,
                            id_col=id_col, text_col=text_col,
                            float32_impacts=True, analyzer=analyzer,
-                           require_all_terms=True)
+                           require_all_terms=True, exclude_doc_pred=pred)
 
 
 def phrase_oracle_sql(phrases: list[tuple[int, str]], top_k: int = 10,

@@ -166,3 +166,23 @@ def test_snippets_no_python_plan(eng, spark):
     out = snippets(res, docs, [(0, "hash join")])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_conjunctive_exclude_terms(eng):
+    """NOT arm: docs containing any excluded term are banned before
+    ranking; survivors keep their exact scores; an index-absent excluded
+    term bans nothing."""
+    engine, _ = eng
+    base = {r["doc_id"]: r["score"]
+            for r in engine.conjunctive([(0, "hash join")], top_k=0)
+            .collect()}
+    # 'spark' appears in docs 0, 2, 3 -> only doc 1 survives
+    out = engine.conjunctive([(0, "hash join")], top_k=0,
+                             exclude="spark").collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["score"] == base[1]          # score unchanged
+    assert out[0]["rank"] == 1                 # ranks re-densify
+    # absent excluded term bans nothing
+    same = engine.conjunctive([(0, "hash join")], top_k=0,
+                              exclude="zzzabsent").collect()
+    assert {r["doc_id"] for r in same} == set(base)
