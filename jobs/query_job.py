@@ -5,7 +5,8 @@
         --queries /path/to/queries.ndjson   # {"qid": 1, "text": "..."} lines
         --output /path/to/results.parquet \
         [--top-k 10 --threshold 0.0 --mode bmw] \
-        [--route auto|wand|join] [--require-all-terms]
+        [--route auto|wand|join] \
+        [--require-all-terms [--exclude "banned terms"]]
 
 Routes: ``wand`` collects the query batch to the driver and runs the
 block-max WAND kernel (fastest; driver memory grows with batch size);
@@ -13,11 +14,13 @@ block-max WAND kernel (fastest; driver memory grows with batch size);
 index-join scorer (flat driver memory — the 10^6-query shape);
 ``auto`` (default) picks join when the batch exceeds 50k queries, the
 same guard the streaming path applies. ``--require-all-terms`` switches
-to conjunctive (boolean-AND) retrieval. Flag combinations that a route
-would silently ignore are REJECTED up front: ``--mode`` is wand-only
-(explicit ``--mode`` with a resolved join route errors), and
-``--require-all-terms`` composes with neither ``--route`` nor
-``--threshold`` nor ``--mode``.
+to conjunctive (boolean-AND) retrieval; ``--exclude`` adds the boolean
+NOT arm there (documents containing ANY of its terms are banned). Flag
+combinations that a route would silently ignore are REJECTED up front:
+``--mode`` is wand-only (explicit ``--mode`` with a resolved join route
+errors), ``--require-all-terms`` composes with neither ``--route`` nor
+``--threshold`` nor ``--mode``, and ``--exclude`` requires
+``--require-all-terms``.
 """
 
 from __future__ import annotations

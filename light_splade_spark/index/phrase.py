@@ -47,7 +47,8 @@ from light_splade_spark.plans.bm25_sql import SCORE_DECIMALS, query_term_rows
 
 
 def _conjunctive_candidates(spark: SparkSession, index_dir: str,
-                            qt: DataFrame) -> DataFrame:
+                            qt: DataFrame,
+                            terms: DataFrame | None = None) -> DataFrame:
     """(pid, doc_id, score): documents containing ALL of each query's
     distinct terms, scored sum(qtf * stored-impact) — identical semantics
     to score_index_join restricted to full matches. ``qt`` = (pid, term,
@@ -59,7 +60,8 @@ def _conjunctive_candidates(spark: SparkSession, index_dir: str,
     is the same groupBy the OR route pays, plus one broadcast of per-query
     term counts."""
     n_terms = qt.groupBy("pid").agg(F.count(F.lit(1)).alias("n_terms"))
-    terms = read_terms(spark, index_dir).select("term", "term_id")
+    if terms is None:
+        terms = read_terms(spark, index_dir).select("term", "term_id")
     qterm = qt.join(terms, "term").select("pid", "term_id", "qtf")
     decoded = decode_postings(spark, index_dir, term_ids=qterm)
     return (
@@ -107,17 +109,26 @@ def conjunctive_topk(
         return spark.createDataFrame(
             [], "qid BIGINT, rank INT, doc_id BIGINT, score DOUBLE")
     qt = spark.createDataFrame(qt_rows, "pid BIGINT, term STRING, qtf BIGINT")
-    cand = _conjunctive_candidates(spark, index_dir, qt)
+    terms = read_terms(spark, index_dir).select("term", "term_id")
+    cand = _conjunctive_candidates(spark, index_dir, qt, terms=terms)
     if exclude:
         ex_terms = sorted(set(ana.py_tokenize(exclude)))
         if ex_terms:
-            terms = read_terms(spark, index_dir).select("term", "term_id")
-            ex_ids = (spark.createDataFrame([(t,) for t in ex_terms],
+            # resolve excluded term_ids to a LITERAL list (bounded by the
+            # exclude text's distinct terms — interactive-sized): the
+            # literal arm of decode_postings keeps bucket partition
+            # pruning + term_id min/max pushdown, so only the excluded
+            # terms' posting bytes are read; the DataFrame arm would scan
+            # every bucket and semi-join
+            ex_ids = [int(r["term_id"]) for r in
+                      spark.createDataFrame([(t,) for t in ex_terms],
                                             "term STRING")
-                      .join(terms, "term").select("term_id"))
-            banned = (decode_postings(spark, index_dir, term_ids=ex_ids)
-                      .select("doc_id").distinct())
-            cand = cand.join(banned, "doc_id", "left_anti")
+                      .join(terms, "term").select("term_id").collect()]
+            if ex_ids:
+                banned = (decode_postings(spark, index_dir,
+                                          term_ids=ex_ids)
+                          .select("doc_id").distinct())
+                cand = cand.join(banned, "doc_id", "left_anti")
     w = Window.partitionBy("pid").orderBy(F.desc("score"), F.asc("doc_id"))
     ranked = cand.withColumn("rank", F.row_number().over(w))
     if top_k and top_k > 0:
