@@ -153,3 +153,33 @@ def test_local_path_matrix_weights_target_tombstones(spark, tmp_path):
                 assert loc == dist and loc, (tombstoned, target, kw.keys())
                 if tombstoned:
                     assert victim not in {d for _, _, d, _ in loc}
+
+
+def test_local_path_thread_safe_concurrent_queries(spark, tmp_path):
+    """Serving-layer property: the driver-local point path must be safe
+    under concurrent callers (a serving layer answers many clients from
+    one process). 4 threads x 6 distinct point queries each, every
+    result byte-identical to the same query run sequentially."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from light_splade_spark.index.build import build_index
+    from light_splade_spark.index.wand import wand_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = str(tmp_path / "cidx")
+    build_index(spark, docs, idx, n_shards=4, n_buckets=4, n_salts=2,
+                n_shard_groups=1)
+    qs = [(i, t) for i, t in enumerate(
+        ["data search", "the index model", "train text", "web learn",
+         "spark hash", "query data key"])]
+
+    def point(q):
+        return sorted((r.qid, r.rank, r.doc_id, r.score) for r in
+                      wand_topk(spark, idx, [q], top_k=5,
+                                local="force").collect())
+
+    sequential = {q[0]: point(q) for q in qs}
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futures = [(q[0], ex.submit(point, q)) for q in qs * 4]
+        for qid, fut in futures:
+            assert fut.result() == sequential[qid]
