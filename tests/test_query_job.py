@@ -66,3 +66,28 @@ def test_conjunctive_route(spark, setup, monkeypatch):
         assert wand_scores[(q, d)] == s
     # qid 0 requires all three terms: only docs 0 and 3 qualify
     assert sorted(d for q, _, d, _ in conj if q == 0) == [0, 3]
+
+
+def test_exclude_cli_and_flag_rejections(spark, setup, monkeypatch, capsys):
+    idx, qpath, root = setup
+    out = _run(spark, monkeypatch, idx, qpath, str(root / "x.parquet"),
+               "--require-all-terms", "--exclude", "spark")
+    # qid 0 'spark hash join': docs 0 and 3 both contain spark -> banned
+    assert not [r for r in out if r[0] == 0]
+    # qid 1 'hash join': doc 1 survives (no spark), others banned
+    assert [r[2] for r in out if r[0] == 1] == [1]
+
+    import sys
+    from jobs.query_job import main as qmain
+    for argv in (
+        ["x", "--index-dir", idx, "--queries", qpath, "--output", "o",
+         "--exclude", "spark"],                        # exclude w/o AND
+        ["x", "--index-dir", idx, "--queries", qpath, "--output", "o",
+         "--require-all-terms", "--mode", "taat"],     # AND + mode
+        ["x", "--index-dir", idx, "--queries", qpath, "--output", "o",
+         "--route", "join", "--mode", "bmw"],          # join + mode
+    ):
+        monkeypatch.setattr(sys, "argv", argv)
+        with pytest.raises(SystemExit) as e:
+            qmain()
+        assert e.value.code == 2  # argparse error exit
