@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from light_splade_spark.functions.analyzers import tokens_col
 from light_splade_spark.operators.dedup import shingles_col
+from light_splade_spark.partitioning import spread_input
 
 # n-gram-heuristic language ID: per-language marker sets (stopword-style
 # n-gram cues; deterministic, vocabulary-pinned so the oracle can mirror it).
@@ -86,7 +87,9 @@ def _stage(docs: DataFrame, id_col: str, text_col: str, *,
           tokens_col(text_col).alias(_TOKS)]
     if lines:
         s1.append(F.array_sort(_nonempty_lines(F.col(text_col))).alias(_LS))
-    df = docs.select(*s1)
+    # per-doc metric arrays are the expensive span; an under-partitioned
+    # scan (single row group) would compute them on one task (guide §2.5)
+    df = spread_input(docs).select(*s1)
     if bigrams or grams35:
         toks = F.col(_TOKS)
         s2 = [F.col(c) for c in df.columns]
@@ -340,7 +343,8 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
         F.size(F.filter(toks, lambda t: t.isin(m))).alias(f"hits_{lang}")
         for lang, m in sorted(LANG_MARKERS.items())
     ]
-    scored = docs.select(F.col(id_col).alias("doc_id"), *hit_cols)
+    scored = spread_input(docs).select(F.col(id_col).alias("doc_id"),
+                                       *hit_cols)
     # argmax with lang-code tie-break via greatest over (hits, -rank) structs
     langs = sorted(LANG_MARKERS)
     pairs = F.array(*[

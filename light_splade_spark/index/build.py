@@ -50,6 +50,7 @@ from light_splade_spark.functions.vbyte import (
     vbyte_encode_sized,
 )
 from light_splade_spark.index.manifest import IndexManifest, write_lineage
+from light_splade_spark.partitioning import spread_input
 from light_splade_spark.plans.bm25_sql import B, K1
 from light_splade_spark.plans.stats import with_dense_id
 
@@ -266,7 +267,10 @@ def per_doc_expansion(docs: DataFrame, id_col: str = "doc_id",
     turns O(dl log dl) into O(dl² log dl) per doc. CollapseProject keeps
     the stages separate because the aliased arrays are non-cheap and
     multiply referenced (asserted in tests/test_index_build.py)."""
-    toked = docs.select(
+    # tokenize + run-length encode is the build's big narrow span; guard
+    # against an under-partitioned scan running it on one task (guide §2.5
+    # input skew — no-op when the source is already well-partitioned)
+    toked = spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(analyzer.spark_tokens(text_col),
                    F.array().cast("array<string>")).alias("_toks"),
@@ -332,30 +336,49 @@ def build_dims(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     'dense': df-descending consecutive ids via the scalable Arrow
     zipWithIndex in plans.stats (two extra lightweight jobs).
     """
+    import time as _time
+
     from pyspark.sql import Observation
+
+    _trace = os.environ.get("SPARK_GRAFT_BUILD_TRACE") == "1"
+    _t0 = _time.time()
+
+    def _tr(label: str) -> None:
+        if _trace:
+            print(f"[dims-trace] {label}: {_time.time() - _t0:.2f}s",
+                  flush=True)
 
     per_doc = per_doc_expansion(docs, id_col, text_col, analyzer)
     got = {"sum_dl": None}
     if expansion_path is not None:
         # materialize as a parquet intermediate (SURVEY S11), the only
         # shape that exists at 10^12 docs — a corpus-sized expansion never
-        # fits storage memory, while parquet spills to the scratch tier
+        # fits storage memory, while parquet spills to the scratch tier.
+        # N / max_doc / Σdl ALL ride this write via Observation (the
+        # expansion keeps one row per doc, zero-token docs included), so
+        # no separate corpus scan is needed for the scalars.
         obs = Observation("corpus_scalars")
-        per_doc.observe(obs, F.sum("dl").alias("sum_dl")) \
+        per_doc.observe(obs, F.sum("dl").alias("sum_dl"),
+                        F.count(F.lit(1)).alias("n"),
+                        F.max("doc_id").alias("max_doc")) \
             .write.mode("overwrite").parquet(expansion_path)
         got = obs.get
+        r0 = {"n": got["n"], "max_doc": got["max_doc"]}
+        _tr("expansion_written")
         per_doc = docs.sparkSession.read.parquet(expansion_path)
     else:
         per_doc = per_doc.cache()
-    # light scalars scan: column-pruned count + max id over ALL docs
-    r0 = docs.agg(F.count(F.lit(1)).alias("n"),
-                  F.max(F.col(id_col)).alias("max_doc")).collect()[0]
+        # light scalars scan: column-pruned count + max id over ALL docs
+        r0 = docs.agg(F.count(F.lit(1)).alias("n"),
+                      F.max(F.col(id_col)).alias("max_doc")).collect()[0]
+        _tr("scalars")
     if int(r0["n"] or 0) == 0:
         raise ValueError("cannot build an index over an empty corpus")
     if doc_stats_path is not None:
         # thin projection of the materialized expansion — no join, no agg
         per_doc.select("doc_id", "dl").write.mode("overwrite") \
             .parquet(doc_stats_path)
+        _tr("doc_stats_written")
     if got["sum_dl"] is None and (doc_stats_path is not None or compute_avgdl):
         got = {"sum_dl": per_doc.agg(F.sum("dl")).collect()[0][0]}
     dt = _explode_expansion(per_doc)
@@ -636,12 +659,17 @@ def collect_partition_lineage(written: DataFrame, t0: float,
     """Per-(shard, bucket) lineage/metrics rows for a just-written posting
     group — the one aggregation shape shared by build, append, and compact
     (manifest.write_lineage consumers)."""
-    rows = [r.asDict() for r in written.groupBy("shard", "bucket").agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        F.sum("df").alias("n_postings"),
-        F.sum(F.length("postings")).alias("postings_bytes"),
-        F.max("df").alias("max_df"),
-    ).orderBy("shard", "bucket").collect()]
+    # driver-side sort instead of .orderBy(): the result is at most
+    # shards x buckets rows, and a distributed orderBy adds a range-
+    # partitioner sampling pass + an extra exchange to every group commit
+    rows = sorted(
+        (r.asDict() for r in written.groupBy("shard", "bucket").agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            F.sum(F.length("postings")).alias("postings_bytes"),
+            F.max("df").alias("max_df"),
+        ).collect()),
+        key=lambda r: (r["shard"], r["bucket"]))
     for r in rows:
         r["wall_sec"] = round(time.time() - t0, 3)
         r["analyzer_version"] = analyzer_version

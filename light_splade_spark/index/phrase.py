@@ -102,28 +102,69 @@ def conjunctive_topk(
     Exclusion does not change surviving docs' scores (BM25 has no
     negative-term contribution).
     """
+    from light_splade_spark.index.wand import (
+        build_query_plan,
+        resolve_term_ids,
+    )
+
     man = IndexManifest.load(index_dir)
     ana = resolve_analyzer(man.analyzer_version, index_dir)
     qt_rows = query_term_rows(queries, ana)
     if not qt_rows:
         return spark.createDataFrame(
             [], "qid BIGINT, rank INT, doc_id BIGINT, score DOUBLE")
-    qt = spark.createDataFrame(qt_rows, "pid BIGINT, term STRING, qtf BIGINT")
-    terms = read_terms(spark, index_dir).select("term", "term_id")
-    cand = _conjunctive_candidates(spark, index_dir, qt, terms=terms)
+    # resolve term -> term_id DRIVER-side through the shared per-process
+    # cache (index/wand.build_query_plan): this keeps decode_postings on
+    # its literal arm — bucket partition pruning + term_id min/max
+    # pushdown reach the parquet scan — instead of planning a terms-dim
+    # scan + broadcast-semi-join build inside the query (two extra jobs
+    # and an unpruned posting read per call). An interactive conjunctive
+    # batch is literal by nature; the DataFrame-sized workload shape
+    # remains available via _conjunctive_candidates.
+    qplan, _, _ = build_query_plan(spark, index_dir, queries)
+    # conjunction semantics: a query term ABSENT from the index makes a
+    # full match impossible, so the query contributes no candidates at
+    # all. build_query_plan drops absent terms from the plan, so compare
+    # against the analyzer's distinct-term count per query.
+    need = {qid: len(set(ana.py_tokenize(text))) for qid, text in queries}
+    qplan = {qid: lst for qid, lst in qplan.items()
+             if len(lst) == need.get(qid)}
+    if not qplan:
+        return spark.createDataFrame(
+            [], "qid BIGINT, rank INT, doc_id BIGINT, score DOUBLE")
+    tids = sorted({tid for lst in qplan.values() for tid, _ in lst})
+    qterm = spark.createDataFrame(
+        [(qid, tid, int(qtf))
+         for qid, lst in sorted(qplan.items()) for tid, qtf in lst],
+        "pid BIGINT, term_id BIGINT, qtf BIGINT")
+    n_terms = spark.createDataFrame(
+        sorted((qid, len(lst)) for qid, lst in qplan.items()),
+        "pid BIGINT, n_terms BIGINT")
+    decoded = decode_postings(spark, index_dir, term_ids=tids)
+    cand = (
+        qterm.join(decoded, "term_id")
+        .groupBy("pid", "doc_id")
+        .agg(
+            F.round(F.sum(F.col("qtf") * F.col("w").cast("double")),
+                    SCORE_DECIMALS).alias("score"),
+            F.count(F.lit(1)).alias("nm"),
+        )
+        .join(F.broadcast(n_terms), "pid")
+        .where(F.col("nm") == F.col("n_terms"))
+        .select("pid", "doc_id", "score")
+    )
     if exclude:
         ex_terms = sorted(set(ana.py_tokenize(exclude)))
         if ex_terms:
             # resolve excluded term_ids to a LITERAL list (bounded by the
-            # exclude text's distinct terms — interactive-sized): the
-            # literal arm of decode_postings keeps bucket partition
-            # pruning + term_id min/max pushdown, so only the excluded
-            # terms' posting bytes are read; the DataFrame arm would scan
-            # every bucket and semi-join
-            ex_ids = [int(r["term_id"]) for r in
-                      spark.createDataFrame([(t,) for t in ex_terms],
-                                            "term STRING")
-                      .join(terms, "term").select("term_id").collect()]
+            # exclude text's distinct terms — interactive-sized), through
+            # the same driver-side cache: the literal arm of
+            # decode_postings keeps bucket partition pruning + term_id
+            # min/max pushdown, so only the excluded terms' posting bytes
+            # are read; the DataFrame arm would scan every bucket and
+            # semi-join
+            ex_ids = sorted(resolve_term_ids(
+                spark, index_dir, ex_terms, man=man).values())
             if ex_ids:
                 banned = (decode_postings(spark, index_dir,
                                           term_ids=ex_ids)

@@ -317,8 +317,33 @@ def build_query_plan(
         qmaps = [(qid, dict(Counter(ana.py_tokenize(text))))
                  for qid, text in queries]
     vocab_needed = sorted({t for _, m in qmaps for t in m})
-    # man is already loaded above — resolve the terms dir from it directly
-    # (terms_path() would re-read manifest.json on every call)
+    tmap = resolve_term_ids(spark, index_dir, vocab_needed, man=man)
+    qplan: dict[int, list[tuple[int, float]]] = {}
+    for qid, counts in qmaps:
+        lst = [(tmap[t], c) for t, c in sorted(counts.items()) if t in tmap]
+        if lst:
+            qplan[qid] = lst
+    tids = sorted({tid for lst in qplan.values() for tid, _ in lst})
+    buckets = sorted({tid % man.n_buckets for tid in tids})
+    return qplan, tids, buckets
+
+
+def resolve_term_ids(
+    spark: SparkSession, index_dir: str, terms: list[str],
+    man: IndexManifest | None = None,
+) -> dict[str, int]:
+    """term -> term_id for the given ALREADY-ANALYZED terms, through the
+    per-process ``_TERMS_CACHE`` (absent terms are cached as absent and
+    omitted from the result). One pushed-down terms-dim lookup per cache
+    miss set; zero Spark jobs on a warm cache — shared by the WAND query
+    planner and the conjunctive/NOT routes (index/phrase.py), which need
+    literal ids to keep posting-scan pruning."""
+    import os as _os
+
+    if man is None:
+        man = IndexManifest.load(index_dir)
+    # resolve the terms dir from the manifest directly (terms_path() would
+    # re-read manifest.json on every call)
     tdir = _os.path.join(index_dir, getattr(man, "terms_dir", "terms"))
     key = (index_dir, _os.path.getmtime(tdir))
     # evict keys of superseded terms-dir versions for this index: each
@@ -327,7 +352,7 @@ def build_query_plan(
     for k in [k for k in _TERMS_CACHE if k[0] == index_dir and k != key]:
         del _TERMS_CACHE[k]
     cached = _TERMS_CACHE.setdefault(key, {})
-    missing = [t for t in vocab_needed if t not in cached]
+    missing = [t for t in terms if t not in cached]
     if missing:
         terms_df = read_terms(spark, index_dir)
         if len(missing) > 256:
@@ -345,15 +370,7 @@ def build_query_plan(
         }
         for t in missing:
             cached[t] = found.get(t)  # None = known-absent, cached too
-    tmap = {t: cached[t] for t in vocab_needed if cached[t] is not None}
-    qplan: dict[int, list[tuple[int, float]]] = {}
-    for qid, counts in qmaps:
-        lst = [(tmap[t], c) for t, c in sorted(counts.items()) if t in tmap]
-        if lst:
-            qplan[qid] = lst
-    tids = sorted({tid for lst in qplan.values() for tid, _ in lst})
-    buckets = sorted({tid % man.n_buckets for tid in tids})
-    return qplan, tids, buckets
+    return {t: cached[t] for t in terms if cached[t] is not None}
 
 
 # interactive point queries skip Spark job scheduling entirely (see

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from light_splade_spark.functions.analyzers import tokens_col
+from light_splade_spark.partitioning import spread_input
 
 # --- exact dedup -----------------------------------------------------------
 
@@ -130,8 +131,10 @@ def shingled(docs: DataFrame, id_col: str = "doc_id",
              text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, sh) — one row per distinct word n-gram shingle, with the
     token array staged as its own projection first (in-lambda rule)."""
-    staged = docs.select(F.col(id_col).alias("doc_id"),
-                         tokens_col(text_col).alias("__toks"))
+    # tokenize+shingle is the expensive narrow span before the first
+    # shuffle; guard against an under-partitioned scan (guide §2.5)
+    staged = spread_input(docs).select(F.col(id_col).alias("doc_id"),
+                                       tokens_col(text_col).alias("__toks"))
     return staged.select(
         "doc_id", F.explode(shingles_col(F.col("__toks"), n)).alias("sh"))
 
@@ -179,18 +182,20 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     """
     sig = minhash_signature(docs, id_col, text_col, k, shingle_n)
     n_bands = k // band_size
-    bands = []
-    for bidx in range(n_bands):
-        cols = [F.col(f"mh_{i}") for i in range(bidx * band_size, (bidx + 1) * band_size)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.md5(F.concat_ws("|", F.lit(str(bidx)), *cols)).alias("band"),
-            )
-        )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
+    # one projection computing every band hash + one explode — NOT a union
+    # of n_bands re-selections of ``sig``: the union form re-ran the whole
+    # shingle+signature aggregation subtree once per band (n_bands
+    # concurrent map stages over the same input; only the exchange was
+    # reused). Same (doc_id, band) rows, one signature computation.
+    band_cols = [
+        F.md5(F.concat_ws(
+            "|", F.lit(str(bidx)),
+            *[F.col(f"mh_{i}")
+              for i in range(bidx * band_size, (bidx + 1) * band_size)]))
+        for bidx in range(n_bands)
+    ]
+    allb = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band"))
     if max_bucket_size is not None:
         from pyspark.sql import Window
         cnt = F.count(F.lit(1)).over(Window.partitionBy("band"))
@@ -292,7 +297,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     entirely from JVM expressions (shiftright/bitwise-and/sum) so the DuckDB
     oracle can mirror it; tf-weighting deliberately omitted (distinct terms)
     to keep the oracle exact."""
-    t = docs.select(
+    t = spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens_col(text_col))).alias("term"),
     ).withColumn("h", _term_hash60())

@@ -13,6 +13,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from light_splade_spark.partitioning import spread_input
+
 SCORE_DECIMALS = 4
 
 
@@ -52,7 +54,10 @@ def brute_force_topk(
     q = emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     if query_ids is not None:
         q = q.where(F.col("qid").isin(query_ids))
-    c = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    # the streamed side does |queries| * N vector ops before any exchange;
+    # an under-partitioned scan would run them on one task (guide §2.5)
+    c = spread_input(emb).select(F.col(id_col).alias("nid"),
+                                 F.col(vec_col).alias("nv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("qid") != F.col("nid"))
@@ -327,7 +332,9 @@ def ann_lsh_topk(
     from pyspark.sql import Window
 
     planes = random_hyperplanes(dim, n_planes, seed)
-    withb = emb.select(
+    # n_planes dot products per vector before the bucket join — spread an
+    # under-partitioned scan so they don't run on one task (guide §2.5)
+    withb = spread_input(emb).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
         lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
     )

@@ -99,14 +99,19 @@ def bm25_topk_docs(
     """
     spark = docs.sparkSession
     postings = doc_terms(docs, id_col, text_col, analyzer=analyzer).cache()
-    n_total = docs.count()
+    # ONE scalar job for both corpus stats (was two: count, then a
+    # groupBy+sum over the cached expansion). sum(size(tokens)) over all
+    # docs == the old per-doc first(dl) sum: zero-token docs contribute 0
+    # either way (absent from the expansion / size()==0 here), null text
+    # is skipped by sum() and counted by count(1) — identical N and avgdl.
+    r0 = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(analyzer.spark_tokens(text_col))).alias("s"),
+    ).collect()[0]
+    n_total = int(r0["n"])
     if n_total == 0:
         raise ValueError("cannot score an empty corpus")
-    sum_dl = (
-        postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-        .agg(F.sum("dl").alias("s")).collect()[0]["s"]
-    ) or 0
-    avgdl = int(sum_dl) / n_total
+    avgdl = int(r0["s"] or 0) / n_total
     qt_rows = query_term_rows(queries, analyzer)
     qterms = spark.createDataFrame(qt_rows, "qid BIGINT, term STRING, qtf BIGINT")
     return score_bm25(postings, qterms, n_total, avgdl, top_k, threshold)
