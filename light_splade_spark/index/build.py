@@ -503,16 +503,36 @@ def build_index(
     else:
         man = None
 
+    doc_stats_future = None
     if weights_df is None:
         expansion_path = os.path.join(index_dir, "_expansion")
         dt, terms, scalars = build_dims(
             docs, id_col, text_col,
-            doc_stats_path=os.path.join(index_dir, "doc_stats") if man is None else None,
+            doc_stats_path=None,  # written below, overlapped (guide §2.6)
             analyzer=analyzer,
             expansion_path=expansion_path,
             compute_avgdl=man is None,  # resume reads avgdl from manifest
         )
         scoring = "bm25"
+        if man is None:
+            # doc_stats is an independent column-pruned projection of the
+            # materialized expansion with its own output dir — submit it
+            # from a driver thread so it back-fills executors behind the
+            # terms and posting jobs instead of serializing before them
+            # (guide §2.6, overlap independent jobs); joined before the
+            # manifest commits "complete"
+            from concurrent.futures import ThreadPoolExecutor
+
+            _ds_pool = ThreadPoolExecutor(max_workers=1)
+            _spark_ref = docs.sparkSession
+
+            def _write_doc_stats(path=os.path.join(index_dir, "doc_stats"),
+                                 src=expansion_path):
+                (_spark_ref.read.parquet(src).select("doc_id", "dl")
+                 .write.mode("overwrite").parquet(path))
+
+            doc_stats_future = _ds_pool.submit(_write_doc_stats)
+            _ds_pool.shutdown(wait=False)
     else:
         dt, terms, scalars = _impact_dims(
             weights_df,
@@ -638,6 +658,11 @@ def build_index(
         man.save(index_dir)
         if fail_after_group is not None and group >= fail_after_group:
             raise RuntimeError(f"simulated crash after shard group {group}")
+    if doc_stats_future is not None:
+        # doc_stats must be on disk before the manifest says "complete"
+        # (target-restriction and compaction read it); propagate any write
+        # failure as a build failure exactly as the serial form did
+        doc_stats_future.result()
     man.status = "complete"
     # initial live set = the groups this build wrote (LSM liveness;
     # index/compact.py). Empty groups never wrote a dir — harmless either

@@ -294,23 +294,37 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     """(doc_id, simhash BIGINT) — classic Charikar simhash over distinct terms.
 
     Bit i of the result = sign of Σ_terms (bit_i(h(term)) ? +1 : -1). Built
-    entirely from JVM expressions (shiftright/bitwise-and/sum) so the DuckDB
-    oracle can mirror it; tf-weighting deliberately omitted (distinct terms)
-    to keep the oracle exact."""
-    t = spread_input(docs).select(
+    entirely from JVM expressions so the DuckDB oracle can mirror it;
+    tf-weighting deliberately omitted (distinct terms) to keep the oracle
+    exact.
+
+    MAP-ONLY shape (guide §2.4, remove shuffles outright): the per-doc
+    distinct-term hash array is staged once (in-lambda rule — the filters
+    below reference only the attribute), then bit i's sign is a row-local
+    popcount-vs-half test (2 * |{h: bit_i(h)}| > n ⟺ Σ(+1/-1) > 0). The
+    previous explode -> groupBy(doc_id) with ``bits`` conditional sums was
+    an exchange plus a 60-aggregate codegen unit per call for what is a
+    row-local computation. Zero-term docs (no tokens, or NULL text) emit
+    no row — identical to the explode form, which never produced a row to
+    aggregate for them."""
+    staged = spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokens_col(text_col))).alias("term"),
-    ).withColumn("h", _term_hash60())
-    sums = t.groupBy("doc_id").agg(*[
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ])
+        F.array_distinct(tokens_col(text_col)).alias("__terms"))
+    hashed = staged.where(F.size("__terms") > 0).select(
+        "doc_id",
+        F.transform(
+            F.col("__terms"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+            .cast("bigint")).alias("__h"))
+    h = F.col("__h")
+    n = F.size(h)
     expr = F.lit(0).cast("bigint")
     for i in range(bits):
-        expr = expr + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * (2 ** i)).otherwise(0)
-    return sums.select("doc_id", expr.alias("simhash"))
+        nset = F.size(F.filter(h, lambda x: x.bitwiseAND(F.lit(1 << i))
+                               != 0))
+        expr = expr + F.when(nset * 2 > n,
+                             F.lit(1).cast("bigint") * (2 ** i)).otherwise(0)
+    return hashed.select("doc_id", expr.alias("simhash"))
 
 
 def simhash_dupes(docs: DataFrame, id_col: str = "doc_id",
