@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from light_splade_spark.partitioning import spread_input
+
 
 def snippets(
     results: DataFrame,
@@ -69,7 +71,9 @@ def snippets(
     # falling back to extracting from the lowered text keeps the window
     # aligned with the match, at the cost of displaying folded case for
     # those rare documents.
-    body = docs.select(
+    # the case-fold + length check touch every corpus byte before the join
+    # prunes to result docs; guard an under-partitioned scan (guide §2.5)
+    body = spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         F.when(F.length(F.lower(F.col(text_col)))
                == F.length(F.col(text_col)), F.col(text_col))

@@ -18,6 +18,11 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # let AQE re-optimize (coalesce/skew-split) INSIDE cached plans too:
+    # default false pins every .cache()'d subplan (e.g. the scoring paths'
+    # doc_terms cache) at the static shuffle width — dozens of near-empty
+    # tasks per stage on small inputs, and no skew handling at scale
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Shuffle width sized to local cores; a cluster run sets this to
     # ~2-3x total executor cores (or relies on AQE initialPartitionNum).
     "spark.sql.shuffle.partitions": "32",
