@@ -196,19 +196,26 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     ]
     allb = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band"))
+    # pair generation: ONE groupBy(band) + in-array pair expansion, not a
+    # band self-join. The previous shape paid a window (shuffle+sort) for
+    # the bucket cap, then a sort-merge self-join over the same exchange,
+    # then the distinct — two sorts and a join for pairs that are a
+    # row-local product once the bucket is a single row. The cap bounds
+    # the per-row pair array at C(max_bucket_size, 2); uncapped callers
+    # accept quadratic buckets by opting out, exactly as before. Pair set
+    # is identical: all (a < b) within a bucket, deduped across bands.
+    grouped = (allb.groupBy("band")
+               .agg(F.array_sort(F.collect_list("doc_id")).alias("ds")))
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-        cnt = F.count(F.lit(1)).over(Window.partitionBy("band"))
-        allb = allb.withColumn("_n", cnt).where(
-            F.col("_n") <= max_bucket_size).drop("_n")
-    a = allb.alias("a")
-    b = allb.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+        grouped = grouped.where(F.size("ds") <= max_bucket_size)
+    ds = F.col("ds")
+    pairs = F.flatten(F.transform(
+        ds, lambda a, i: F.transform(
+            F.slice(ds, i + 2, F.size(ds)),
+            lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")))))
+    return (grouped.select(F.explode(pairs).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct())
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
