@@ -133,26 +133,69 @@ def conjunctive_topk(
         return spark.createDataFrame(
             [], "qid BIGINT, rank INT, doc_id BIGINT, score DOUBLE")
     tids = sorted({tid for lst in qplan.values() for tid, _ in lst})
-    qterm = spark.createDataFrame(
-        [(qid, tid, int(qtf))
-         for qid, lst in sorted(qplan.items()) for tid, qtf in lst],
-        "pid BIGINT, term_id BIGINT, qtf BIGINT")
-    n_terms = spark.createDataFrame(
-        sorted((qid, len(lst)) for qid, lst in qplan.items()),
-        "pid BIGINT, n_terms BIGINT")
     decoded = decode_postings(spark, index_dir, term_ids=tids)
-    cand = (
-        qterm.join(decoded, "term_id")
-        .groupBy("pid", "doc_id")
-        .agg(
-            F.round(F.sum(F.col("qtf") * F.col("w").cast("double")),
-                    SCORE_DECIMALS).alias("score"),
-            F.count(F.lit(1)).alias("nm"),
+    n_entries = sum(len(lst) for lst in qplan.values())
+    if n_entries <= 4096:
+        # attach the query plan as LITERAL map expressions instead of
+        # joining two tiny python-list DataFrames: an RDD-backed local
+        # DataFrame has no size statistics, so the planner refused to
+        # broadcast it and built a 32-partition sort-merge join (plus a
+        # python scan of the list) around a handful of rows. Here the
+        # whole attach is term_id -> [(pid, qtf)] element_at + explode,
+        # and the full-match test reads n_terms from a pid-keyed literal
+        # map — zero joins before the one groupBy an AND-match needs.
+        inv: dict[int, list[tuple[int, int]]] = {}
+        for qid, lst in sorted(qplan.items()):
+            for tid, qtf in lst:
+                inv.setdefault(tid, []).append((qid, int(qtf)))
+        pq_map = F.create_map(*[
+            x for tid, pairs in sorted(inv.items())
+            for x in (F.lit(tid), F.array(*[
+                F.struct(F.lit(pid).cast("bigint").alias("pid"),
+                         F.lit(qtf).cast("bigint").alias("qtf"))
+                for pid, qtf in pairs]))])
+        nt_map = F.create_map(*[
+            x for qid, lst in sorted(qplan.items())
+            for x in (F.lit(qid).cast("bigint"),
+                      F.lit(len(lst)).cast("bigint"))])
+        cand = (
+            decoded
+            .select("doc_id", "w",
+                    F.explode(F.element_at(pq_map, F.col("term_id")))
+                    .alias("pq"))
+            .select(F.col("pq.pid").alias("pid"), "doc_id",
+                    F.col("pq.qtf").alias("qtf"), "w")
+            .groupBy("pid", "doc_id")
+            .agg(
+                F.round(F.sum(F.col("qtf") * F.col("w").cast("double")),
+                        SCORE_DECIMALS).alias("score"),
+                F.count(F.lit(1)).alias("nm"),
+            )
+            .where(F.col("nm") == F.element_at(nt_map, F.col("pid")))
+            .select("pid", "doc_id", "score")
         )
-        .join(F.broadcast(n_terms), "pid")
-        .where(F.col("nm") == F.col("n_terms"))
-        .select("pid", "doc_id", "score")
-    )
+    else:
+        # corpus-scale batches: literal maps would blow up codegen; ship
+        # the plan as DataFrames and let the broadcast join do the attach
+        qterm = spark.createDataFrame(
+            [(qid, tid, int(qtf))
+             for qid, lst in sorted(qplan.items()) for tid, qtf in lst],
+            "pid BIGINT, term_id BIGINT, qtf BIGINT")
+        n_terms = spark.createDataFrame(
+            sorted((qid, len(lst)) for qid, lst in qplan.items()),
+            "pid BIGINT, n_terms BIGINT")
+        cand = (
+            F.broadcast(qterm).join(decoded, "term_id")
+            .groupBy("pid", "doc_id")
+            .agg(
+                F.round(F.sum(F.col("qtf") * F.col("w").cast("double")),
+                        SCORE_DECIMALS).alias("score"),
+                F.count(F.lit(1)).alias("nm"),
+            )
+            .join(F.broadcast(n_terms), "pid")
+            .where(F.col("nm") == F.col("n_terms"))
+            .select("pid", "doc_id", "score")
+        )
     if exclude:
         ex_terms = sorted(set(ana.py_tokenize(exclude)))
         if ex_terms:
