@@ -505,8 +505,11 @@ def q_cosine_neardup_lsh(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    # hamming_probes pinned to 0: the DuckDB oracle mirrors the
+    # single-bucket route; the OPERATOR default is 2 (recall fix, r7)
     return similarity.ann_lsh_topk(_emb(spark, sf_dir),
-                                   query_ids=list(range(10)), k=5, n_planes=6)
+                                   query_ids=list(range(10)), k=5,
+                                   n_planes=6, hamming_probes=0)
 
 
 def q_ivf_topk(spark, sf_dir):

@@ -120,11 +120,11 @@ def test_ann_lsh_multiprobe_recall_ladder(spark):
     r = [len(h & exact) / len(exact) for h in (h0, h1, h2)]
     assert r[0] <= r[1] <= r[2], r
     assert r[2] > r[0], r  # probing more buckets must find more at sf0.001
-    # h=0 path is byte-identical to the pre-multiprobe operator (the
-    # explode branch is skipped entirely)
+    # the DEFAULT is multi-probe h=2 (r7 recall fix: h=0 measured 0.04
+    # recall@5 at the bench config); h=0 remains available explicitly
     base = {(r2["qid"], r2["nid"]) for r2 in similarity.ann_lsh_topk(
         emb, qids, k=5, n_planes=6).collect()}
-    assert base == h0
+    assert base == h2
 
 
 def test_lang_id_markers(spark):
