@@ -45,6 +45,12 @@ from light_splade_spark.index.join_scorer import decode_postings
 from light_splade_spark.index.manifest import IndexManifest
 from light_splade_spark.plans.bm25_sql import SCORE_DECIMALS, query_term_rows
 
+# conjunctive batches at or below this many (query, term) plan entries
+# attach the plan as literal map expressions (zero joins); above it the
+# plan ships as broadcast-hinted DataFrames (literal maps would bloat
+# codegen). Tests patch this to exercise both routes on one batch.
+LITERAL_PLAN_MAX = 4096
+
 
 def _conjunctive_candidates(spark: SparkSession, index_dir: str,
                             qt: DataFrame,
@@ -135,7 +141,7 @@ def conjunctive_topk(
     tids = sorted({tid for lst in qplan.values() for tid, _ in lst})
     decoded = decode_postings(spark, index_dir, term_ids=tids)
     n_entries = sum(len(lst) for lst in qplan.values())
-    if n_entries <= 4096:
+    if n_entries <= LITERAL_PLAN_MAX:
         # attach the query plan as LITERAL map expressions instead of
         # joining two tiny python-list DataFrames: an RDD-backed local
         # DataFrame has no size statistics, so the planner refused to
